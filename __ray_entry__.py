@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the geograft engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship pipeline at sf0.001: synthesize interleaved docs
+               from events, extract geo spans, build the cell directory.
+queries()    — one entry per implemented operator from SURVEY.md §2
+               (+ training-data ops), each over /root/testdata parquet.
+oracle_sql() — DuckDB-equivalent ANSI SQL per query (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,226 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMALL = "/root/testdata/sf0.001"
+
+# ---- fixed query constants (literal in both Ray calls and oracle SQL) ----
+ENV_Q = (5.0, 10.0, 20.0, 40.0)            # point envelope query (x0 y0 x1 y1)
+RECT_Q = (1000.0, 10.0, 30000.0, 60.0)     # rect envelope query
+WD_Q = (50.0, 8.0, 400.0)                  # within-distance (x, y, r2)
+KNN_Q = (100.0, 50.0, 10)                  # kNN (x, y, k)
+NN_Q = (100.0, 50.0)                       # nearest-neighbor ties
+AT_POINT_Q = (2000.0, 30.0)                # locate_all_at_point on rects
+CONTAINS_Q = (6.55, 8.0)                   # membership by equality (event 0)
+TILE_N = 16                                 # tile grid for the histogram
+SEL_X = 100.0                               # custom selection function: x < SEL_X
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship at sf0.001: events -> interleaved docs -> span explode ->
+    geo parse -> owner-cell assignment -> cell directory (small result)."""
+    import ray.data as rd
+
+    from geograft import fixtures as FX
+    from geograft import ops, synth
+
+    docs = rd.read_parquet(f"{SF_SMALL}/events.parquet").map_batches(
+        synth.docs_from_events, batch_format="pyarrow"
+    )
+    geoms = ops.extract_geometries(docs)
+    return ops.cell_directory(geoms, level=6, bounds=FX.POINTS_BOUNDS)
+
+
+def _points(sf_dir: str):
+    from geograft import fixtures as FX
+
+    return FX.points_ds(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geograft import fixtures as FX
+    from geograft import ops, synth
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def iter_all(sf):
+        # RTree::iter (rtree.rs:313-329): all elements, order unspecified
+        return _points(sf).select_columns(["id", "x", "y"])
+
+    def locate_in_envelope(sf):
+        return ops.locate_in_envelope(_points(sf), *ENV_Q).select_columns(["id", "x", "y"])
+
+    def locate_in_envelope_rects(sf):
+        return ops.locate_in_envelope(FX.rects_ds(sf), *RECT_Q).select_columns(["id"])
+
+    def locate_in_envelope_intersecting(sf):
+        return ops.locate_in_envelope_intersecting(FX.rects_ds(sf), *RECT_Q).select_columns(["id"])
+
+    def locate_all_at_point(sf):
+        return ops.locate_all_at_point(FX.rects_ds(sf), *AT_POINT_Q).select_columns(["id"])
+
+    def locate_within_distance(sf):
+        return ops.locate_within_distance(_points(sf), *WD_Q).select_columns(["id", "x", "y"])
+
+    def contains(sf):
+        # RTree::contains (rtree.rs:890-892): membership by equality
+        import numpy as np
+        import pyarrow as pa
+
+        def f(b):
+            keep = (b.column("x").to_numpy() == CONTAINS_Q[0]) & (
+                b.column("y").to_numpy() == CONTAINS_Q[1]
+            )
+            return b.filter(pa.array(keep))
+
+        return _points(sf).map_batches(f, batch_format="pyarrow").select_columns(["id", "x", "y"])
+
+    def knn(sf):
+        import pyarrow as pa
+
+        q = pa.table({"qid": [0], "x": [KNN_Q[0]], "y": [KNN_Q[1]]})
+        return ops.knn(_points(sf), q, k=KNN_Q[2])
+
+    def nearest_neighbors_ties(sf):
+        out = ops.nearest_neighbors_all_ties(_points(sf), *NN_Q)
+        return out[["id", "dist2"]]
+
+    def pop_nearest_neighbor(sf):
+        # rtree.rs:1140-1150: NN then identity removal -> surviving set
+        import pyarrow as pa
+
+        q = pa.table({"qid": [0], "x": [NN_Q[0]], "y": [NN_Q[1]]})
+        nn = ops.knn(_points(sf), q, k=1).to_pandas()
+        victim = int(nn["id"].iloc[0])
+
+        def f(b):
+            return b.filter(pa.array(b.column("id").to_numpy() != victim))
+
+        return _points(sf).map_batches(f, batch_format="pyarrow").select_columns(["id"])
+
+    def spatial_join(sf):
+        return ops.spatial_join(
+            FX.join_left_ds(sf), FX.join_right_ds(sf), level=4, bounds=FX.JOIN_BOUNDS
+        )
+
+    def drain_in_envelope(sf):
+        # surviving side of the drain split (removal.rs:67-243)
+        _, surviving = ops.drain_in_envelope(_points(sf), *ENV_Q)
+        return surviving.select_columns(["id"])
+
+    def selection_function(sf):
+        # custom SF example (iterators.rs:328-360): x < SEL_X
+        return ops.locate_with_selection_function(
+            _points(sf), lambda b: b.column("minx").to_numpy() < SEL_X
+        ).select_columns(["id"])
+
+    def tile_histogram(sf):
+        return ops.tile_histogram(_points(sf), TILE_N, TILE_N, FX.POINTS_BOUNDS)
+
+    def extract_geo_spans(sf):
+        # interleaved-doc round trip: synthesize docs from events, explode
+        # spans, parse geo text back to exact coordinates
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geograft import synth as S
+
+        docs = rd.read_parquet(f"{sf}/events.parquet").map_batches(
+            S.docs_from_events, batch_format="pyarrow"
+        )
+        geoms = ops.extract_geometries(docs)
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b.column("doc_id"), "x": b.column("x0"), "y": b.column("y0")})
+
+        return geoms.map_batches(rename, batch_format="pyarrow")
+
+    return {
+        "iter_all": iter_all,
+        "locate_in_envelope": locate_in_envelope,
+        "locate_in_envelope_rects": locate_in_envelope_rects,
+        "locate_in_envelope_intersecting": locate_in_envelope_intersecting,
+        "locate_all_at_point": locate_all_at_point,
+        "locate_within_distance": locate_within_distance,
+        "contains": contains,
+        "knn": knn,
+        "nearest_neighbors_ties": nearest_neighbors_ties,
+        "pop_nearest_neighbor": pop_nearest_neighbor,
+        "spatial_join": spatial_join,
+        "drain_in_envelope": drain_in_envelope,
+        "selection_function": selection_function,
+        "tile_histogram": tile_histogram,
+        "extract_geo_spans": extract_geo_spans,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geograft import fixtures as FX
+
+    P = FX.POINTS_SQL
+    R = FX.RECTS_SQL
+    JL = FX.JOIN_LEFT_SQL
+    JR = FX.JOIN_RIGHT_SQL
+    ex0, ey0, ex1, ey1 = ENV_Q
+    rx0, ry0, rx1, ry1 = RECT_Q
+    wx, wy, wr2 = WD_Q
+    kx, ky, kk = KNN_Q
+    nx, ny = NN_Q
+    ax, ay = AT_POINT_Q
+    cx, cy = CONTAINS_Q
+    b = FX.POINTS_BOUNDS
+    return {
+        "iter_all": f"SELECT id, x, y FROM ({P})",
+        "locate_in_envelope": (
+            f"SELECT id, x, y FROM ({P}) WHERE x BETWEEN {ex0} AND {ex1} "
+            f"AND y BETWEEN {ey0} AND {ey1}"
+        ),
+        "locate_in_envelope_rects": (
+            f"SELECT id FROM ({R}) WHERE minx >= {rx0} AND miny >= {ry0} "
+            f"AND maxx <= {rx1} AND maxy <= {ry1}"
+        ),
+        "locate_in_envelope_intersecting": (
+            f"SELECT id FROM ({R}) WHERE minx <= {rx1} AND maxx >= {rx0} "
+            f"AND miny <= {ry1} AND maxy >= {ry0}"
+        ),
+        "locate_all_at_point": (
+            f"SELECT id FROM ({R}) WHERE minx <= {ax} AND maxx >= {ax} "
+            f"AND miny <= {ay} AND maxy >= {ay}"
+        ),
+        "locate_within_distance": (
+            f"SELECT id, x, y FROM ({P}) "
+            f"WHERE (x-{wx})*(x-{wx}) + (y-{wy})*(y-{wy}) <= {wr2}"
+        ),
+        "contains": f"SELECT id, x, y FROM ({P}) WHERE x = {cx} AND y = {cy}",
+        "knn": (
+            f"SELECT 0 AS qid, id, (x-{kx})*(x-{kx}) + (y-{ky})*(y-{ky}) AS dist2 "
+            f"FROM ({P}) ORDER BY dist2, id LIMIT {kk}"
+        ),
+        "nearest_neighbors_ties": (
+            f"WITH d AS (SELECT id, (x-{nx})*(x-{nx}) + (y-{ny})*(y-{ny}) AS dist2 FROM ({P})) "
+            f"SELECT id, dist2 FROM d WHERE dist2 = (SELECT min(dist2) FROM d)"
+        ),
+        "pop_nearest_neighbor": (
+            f"SELECT id FROM ({P}) WHERE id != "
+            f"(SELECT id FROM ({P}) ORDER BY (x-{nx})*(x-{nx}) + (y-{ny})*(y-{ny}), id LIMIT 1)"
+        ),
+        "spatial_join": (
+            f"SELECT a.id AS left_id, b.id AS right_id FROM ({JL}) a, ({JR}) b "
+            "WHERE a.minx <= b.maxx AND a.maxx >= b.minx "
+            "AND a.miny <= b.maxy AND a.maxy >= b.miny"
+        ),
+        "drain_in_envelope": (
+            f"SELECT id FROM ({P}) WHERE NOT (x BETWEEN {ex0} AND {ex1} "
+            f"AND y BETWEEN {ey0} AND {ey1})"
+        ),
+        "selection_function": f"SELECT id FROM ({P}) WHERE x < {SEL_X}",
+        "tile_histogram": (
+            f"WITH t AS (SELECT x, y, "
+            f"LEAST(GREATEST(CAST(FLOOR((x - ({b.minx})) / {b.width} * {TILE_N}) AS BIGINT), 0), {TILE_N - 1}) AS tile_x, "
+            f"LEAST(GREATEST(CAST(FLOOR((y - ({b.miny})) / {b.height} * {TILE_N}) AS BIGINT), 0), {TILE_N - 1}) AS tile_y "
+            f"FROM ({P})) "
+            f"SELECT tile_x, tile_y, count(*) AS n, min(x) AS minx, min(y) AS miny, "
+            f"max(x) AS maxx, max(y) AS maxy FROM t GROUP BY tile_x, tile_y"
+        ),
+        "extract_geo_spans": (
+            "SELECT 'd' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS doc_id, "
+            "value AS x, CAST(user_id AS DOUBLE) AS y FROM events"
+        ),
+    }

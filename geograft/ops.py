@@ -1,0 +1,533 @@
+"""Dataset-level operators: the rstar query surface re-expressed Ray-Data-first.
+
+Every operator is a composition of ``map_batches`` (vectorized Arrow /
+numpy kernels), ``groupby(cell_id)`` (the one shuffle key, SURVEY.md
+§7.3) and ``sort/limit``. Per-record Python loops appear nowhere in a
+hot path; stateful per-partition R-trees (geograft.ptree) are built
+inside ``map_groups`` workers.
+
+Operator → reference parity notes live on each function (citations are
+rstar file:line, studied for behaviour only).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import grid as G
+from . import kernels as K
+from .ptree import PTree
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+ENV_COLS = ["minx", "miny", "maxx", "maxy"]
+
+
+# --------------------------------------------------------------------------
+# span explode + geometry extraction (the per-record parser stage, §2.8)
+# --------------------------------------------------------------------------
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """docs(doc_id, spans) -> one row per span, preserving order.
+
+    Zero-copy via Arrow list offsets: the struct child arrays are
+    flattened, never round-tripped through Python objects. ``span_idx``
+    is the position inside the list — the order half of the
+    span-sequence invariant.
+    """
+    col = batch.column("spans").combine_chunks()
+    flat = col.flatten()  # honours slice offsets
+    lengths = pc.list_value_length(col).to_numpy().astype(np.int64)
+    n = len(lengths)
+    parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    starts = np.cumsum(lengths) - lengths
+    span_idx = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(starts, lengths)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(pa.array(parent)),
+            "span_idx": pa.array(span_idx.astype(np.int32)),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        }
+    )
+
+
+_SHAPE_TO_KIND = {"POINT": "point", "RECT": "rect", "LINE": "line"}
+
+
+def parse_geo_spans(batch: pa.Table) -> pa.Table:
+    """Exploded span rows -> geometry rows for kind='geo' spans.
+
+    Parses ``POINT(x y)`` / ``RECT(minx miny maxx maxy)`` /
+    ``LINE(x1 y1 x2 y2)`` with Arrow string kernels (split_pattern +
+    cast); float repr round-trips exactly, so coordinates equal the
+    values the synthesizer embedded bit-for-bit.
+
+    Output: doc_id, span_idx, geom_kind, x0, y0, x1, y1 (raw geometry:
+    the point, the rect corners, or the line endpoints) plus the
+    envelope columns minx/miny/maxx/maxy (AABB::from_corners /
+    Line envelope semantics, aabb.rs:60-65, line.rs:27-45).
+    """
+    geo = batch.filter(pc.equal(batch["kind"], "geo"))
+    if len(geo) == 0:
+        return _empty_geom_table()
+    txt = geo.column("text").combine_chunks()
+    parts = pc.split_pattern(txt, "(")
+    shape = pc.list_element(parts, 0)
+    args = pc.utf8_rtrim(pc.list_element(parts, 1), ")")
+    nums = pc.split_pattern(args, " ")
+    lens = pc.list_value_length(nums).to_numpy()
+    vals = pc.cast(pc.list_flatten(nums), pa.float64()).to_numpy()
+
+    n = len(geo)
+    x0 = np.empty(n)
+    y0 = np.empty(n)
+    x1 = np.empty(n)
+    y1 = np.empty(n)
+    starts = np.cumsum(lens) - lens
+    is2 = lens == 2
+    # POINT: degenerate box (AABB::from_point, aabb.rs:36-41)
+    x0[is2] = vals[starts[is2]]
+    y0[is2] = vals[starts[is2] + 1]
+    x1[is2] = x0[is2]
+    y1[is2] = y0[is2]
+    is4 = lens == 4
+    x0[is4] = vals[starts[is4]]
+    y0[is4] = vals[starts[is4] + 1]
+    x1[is4] = vals[starts[is4] + 2]
+    y1[is4] = vals[starts[is4] + 3]
+
+    gk = np.asarray([_SHAPE_TO_KIND[s] for s in shape.to_pylist()])
+    minx = np.minimum(x0, x1)
+    maxx = np.maximum(x0, x1)
+    miny = np.minimum(y0, y1)
+    maxy = np.maximum(y0, y1)
+    # RECT corners are already (min, max) by construction; LINE needs the
+    # min/max fold; POINT is degenerate — the unconditional fold is exact
+    # for all three.
+    return pa.table(
+        {
+            "doc_id": geo.column("doc_id"),
+            "span_idx": geo.column("span_idx"),
+            "geom_kind": pa.array(gk),
+            "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+            "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+        }
+    )
+
+
+def _empty_geom_table() -> pa.Table:
+    f = pa.array([], type=pa.float64())
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "span_idx": pa.array([], type=pa.int32()),
+            "geom_kind": pa.array([], type=pa.string()),
+            "x0": f, "y0": f, "x1": f, "y1": f,
+            "minx": f, "miny": f, "maxx": f, "maxy": f,
+        }
+    )
+
+
+def extract_geometries(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """docs -> geometry rows: explode + parse in one fused stateless stage."""
+    return docs_ds.map_batches(
+        lambda b: parse_geo_spans(explode_spans(b)), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# cell assignment (level-1 partitioning)
+# --------------------------------------------------------------------------
+
+def assign_owner_cells(batch: pa.Table, level: int, bounds: G.Bounds) -> pa.Table:
+    """Adds the owner cell id (cell of the envelope min corner,
+    SURVEY.md §7.4) — the partitioning key for build/groupby stages."""
+    cid = G.owner_cell(
+        batch.column("minx").to_numpy(), batch.column("miny").to_numpy(), level, bounds
+    )
+    return batch.append_column("cell_id", pa.array(cid))
+
+
+def replicate_to_cells(batch: pa.Table, level: int, bounds: G.Bounds) -> pa.Table:
+    """Multi-cell replication (§7.4): one output row per (geometry, cell
+    its envelope touches). Owner-cell dedup downstream restores
+    exactly-once semantics."""
+    rows, cells = G.covering_cells_of_envelopes(
+        batch.column("minx").to_numpy(),
+        batch.column("miny").to_numpy(),
+        batch.column("maxx").to_numpy(),
+        batch.column("maxy").to_numpy(),
+        level,
+        bounds,
+    )
+    out = batch.take(pa.array(rows))
+    return out.append_column("cell_id", pa.array(cells))
+
+
+# --------------------------------------------------------------------------
+# locate_* family — pure predicates, no shuffle (rtree.rs:351-1060)
+# --------------------------------------------------------------------------
+
+def _env_arrays(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    lo = np.c_[batch.column("minx").to_numpy(), batch.column("miny").to_numpy()]
+    up = np.c_[batch.column("maxx").to_numpy(), batch.column("maxy").to_numpy()]
+    return lo, up
+
+
+def locate_in_envelope(ds, qminx, qminy, qmaxx, qmaxy) -> "ray.data.Dataset":
+    """rtree.rs:351-390 — envelopes FULLY CONTAINED in the query box."""
+    qlo = np.array([qminx, qminy])
+    qhi = np.array([qmaxx, qmaxy])
+
+    def f(batch: pa.Table) -> pa.Table:
+        lo, up = _env_arrays(batch)
+        return batch.filter(pa.array(K.env_contains_env(qlo[None], qhi[None], lo, up)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def locate_in_envelope_intersecting(ds, qminx, qminy, qmaxx, qmaxy) -> "ray.data.Dataset":
+    """rtree.rs:447-498 — envelopes INTERSECTING the box (touch counts)."""
+    qlo = np.array([qminx, qminy])
+    qhi = np.array([qmaxx, qmaxy])
+
+    def f(batch: pa.Table) -> pa.Table:
+        lo, up = _env_arrays(batch)
+        return batch.filter(pa.array(K.env_intersects(lo, up, qlo, qhi)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def locate_all_at_point(ds, x, y) -> "ray.data.Dataset":
+    """rtree.rs:753-843 — elements whose geometry CONTAINS the point.
+
+    Exact containment per geom kind: point => equality
+    (object.rs:221-223); rect => box containment (rectangle.rs:95-97);
+    line => distance_2 == 0 (object.rs:154-200 default contains_point).
+    For pure-envelope rows (no geom_kind column) the envelope test is
+    the containment test.
+    """
+    q = np.array([x, y])
+
+    def f(batch: pa.Table) -> pa.Table:
+        lo, up = _env_arrays(batch)
+        keep = K.env_contains_point(lo, up, q)
+        if "geom_kind" in batch.column_names and len(batch) > 0:
+            gk = np.asarray(batch.column("geom_kind").to_pylist())
+            p0 = np.c_[batch.column("x0").to_numpy(), batch.column("y0").to_numpy()]
+            p1 = np.c_[batch.column("x1").to_numpy(), batch.column("y1").to_numpy()]
+            is_line = gk == "line"
+            if is_line.any():
+                d2 = K.line_distance_2(p0[is_line], p1[is_line], q)
+                line_keep = d2 <= 0.0
+                keep[is_line] &= line_keep
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def locate_within_distance(ds, x, y, r2) -> "ray.data.Dataset":
+    """rtree.rs:1053-1060 — distance_2(geometry, q) <= r2, with the per-kind
+    exact distance (point: euclidean^2; rect: clamped envelope distance,
+    rectangle.rs:82-94; line: segment distance, line.rs:97-113)."""
+    q = np.array([x, y])
+
+    def f(batch: pa.Table) -> pa.Table:
+        d2 = _exact_distance_2(batch, q)
+        return batch.filter(pa.array(d2 <= r2))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _exact_distance_2(batch: pa.Table, q: np.ndarray) -> np.ndarray:
+    lo, up = _env_arrays(batch)
+    d2 = K.env_distance_2(lo, up, q)
+    if "geom_kind" in batch.column_names and len(batch) > 0:
+        gk = np.asarray(batch.column("geom_kind").to_pylist())
+        is_line = gk == "line"
+        if is_line.any():
+            p0 = np.c_[batch.column("x0").to_numpy(), batch.column("y0").to_numpy()]
+            p1 = np.c_[batch.column("x1").to_numpy(), batch.column("y1").to_numpy()]
+            d2[is_line] = K.line_distance_2(p0[is_line], p1[is_line], q)
+    return d2
+
+
+def locate_with_selection_function(ds, keep_rows) -> "ray.data.Dataset":
+    """The UDF hook (rtree.rs:507-520, SelectionFunction trait):
+    ``keep_rows(batch) -> bool mask`` plays should_unpack_leaf; partition
+    pruning (should_unpack_parent) happens at the planner via the cell
+    directory when an index is attached."""
+    return ds.map_batches(
+        lambda b: b.filter(pa.array(keep_rows(b))), batch_format="pyarrow"
+    )
+
+
+def drain_in_envelope(ds, qminx, qminy, qmaxx, qmaxy, intersecting: bool = False):
+    """drain_* family (rtree.rs:399-410, removal.rs:67-243): split the
+    dataset into (drained, surviving). Both sides are lazy Datasets over
+    the same input — a split, not a mutation, which is exactly the
+    element-set contract the reference's drain tests assert."""
+    qlo = np.array([qminx, qminy])
+    qhi = np.array([qmaxx, qmaxy])
+
+    def mask(batch: pa.Table) -> np.ndarray:
+        lo, up = _env_arrays(batch)
+        if intersecting:
+            return K.env_intersects(lo, up, qlo, qhi)
+        return K.env_contains_env(qlo[None], qhi[None], lo, up)
+
+    drained = ds.map_batches(lambda b: b.filter(pa.array(mask(b))), batch_format="pyarrow")
+    surviving = ds.map_batches(lambda b: b.filter(pa.array(~mask(b))), batch_format="pyarrow")
+    return drained, surviving
+
+
+# --------------------------------------------------------------------------
+# kNN — broadcast query matrix, per-batch vectorized top-k, small merge
+# --------------------------------------------------------------------------
+
+class _BatchKnn:
+    """Actor-pool stage: queries broadcast once per actor (ray.put ref in
+    __init__), per-batch vectorized distance + partial top-k. Emits at
+    most Q*k candidate rows per batch — the partial/combiner pattern that
+    keeps the final per-qid merge tiny."""
+
+    def __init__(self, queries_ref, k: int, id_col: str):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qid = q["qid"]
+        self.qxy = q["xy"]  # (Q, 2)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({
+                "qid": pa.array([], type=pa.int64()),
+                self.id_col: pa.array([], type=pa.int64()),
+                "dist2": pa.array([], type=pa.float64()),
+            })
+        ids = batch.column(self.id_col).to_numpy()
+        out_q, out_i, out_d = [], [], []
+        lo, up = _env_arrays(batch)
+        for j in range(len(self.qid)):
+            d2 = K.env_distance_2(lo, up, self.qxy[j])
+            k = min(self.k, n)
+            part = np.argpartition(d2, k - 1)[:k]
+            out_q.append(np.full(k, self.qid[j], dtype=np.int64))
+            out_i.append(ids[part])
+            out_d.append(d2[part])
+        return pa.table(
+            {
+                "qid": np.concatenate(out_q),
+                self.id_col: np.concatenate(out_i),
+                "dist2": np.concatenate(out_d),
+            }
+        )
+
+
+def knn(ds, queries: pa.Table, k: int, id_col: str = "id", concurrency: int = 2):
+    """First k of nearest_neighbor_iter (rtree.rs:1094-1122) for a batch
+    of queries. Ties broken by (dist2, id) — deterministic where the
+    reference leaves tie order unspecified.
+
+    queries: table with qid:int64, x:float64, y:float64 (broadcast via
+    ray.put — never re-shipped per batch).
+    """
+    import pandas as pd
+    import ray
+
+    qref = ray.put(
+        {
+            "qid": queries.column("qid").to_numpy(),
+            "xy": np.c_[queries.column("x").to_numpy(), queries.column("y").to_numpy()],
+        }
+    )
+    cand = ds.map_batches(
+        _BatchKnn,
+        fn_constructor_args=(qref, k, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["dist2", id_col], kind="stable").head(k)
+
+    return cand.groupby("qid").map_groups(finalize, batch_format="pandas")
+
+
+def nearest_neighbors_all_ties(ds, x: float, y: float, id_col: str = "id"):
+    """nearest_neighbors plural (rtree.rs:1003-1043): ALL elements whose
+    distance_2 equals the minimum — exact f64 equality, preserved because
+    both the candidate pass and the final filter use the same kernel."""
+    q = np.array([x, y])
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        d2 = _exact_distance_2(batch, q)
+        m = d2.min()
+        keep = d2 == m
+        return batch.filter(pa.array(keep)).append_column("dist2", pa.array(d2[keep]))
+
+    cand = ds.map_batches(local_min, batch_format="pyarrow")
+    # small result: at most a handful of rows per input block survive
+    pdf = cand.to_pandas()
+    if len(pdf) == 0:
+        return pdf
+    m = pdf["dist2"].min()
+    return pdf[pdf["dist2"] == m].sort_values(id_col).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# spatial join — the flagship distributed op (rtree.rs:522-534)
+# --------------------------------------------------------------------------
+
+def spatial_join(
+    left, right, level: int, bounds: G.Bounds,
+    left_id: str = "left_id", right_id: str = "right_id",
+    id_col: str = "id",
+):
+    """intersection_candidates_with_other_tree, distributed.
+
+    Both sides are flat-replicated to every grid cell their envelope
+    touches, co-partitioned with ONE ``groupby(cell_id)`` shuffle, and
+    joined per cell with a dual packed R-tree (PTree.join). A pair whose
+    envelopes intersect in several cells is reported only by the OWNER
+    cell — the cell containing the intersection box's min corner —
+    giving exact pair-set equality with the reference's single-tree
+    dual traversal (intersection_iterator.rs:15-104).
+
+    Sides must carry ``id_col`` + envelope columns. Output:
+    (left_id, right_id).
+    """
+
+    def prep(side_tag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.select([id_col, *ENV_COLS])
+            t = replicate_to_cells(t, level, bounds)
+            return t.append_column("side", pa.array(np.full(len(t), side_tag, dtype=np.int8)))
+
+        return f
+
+    lrep = left.map_batches(prep(0), batch_format="pyarrow")
+    rrep = right.map_batches(prep(1), batch_format="pyarrow")
+    both = lrep.union(rrep)
+
+    def join_cell(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        cell = group.column("cell_id").to_numpy()
+        lo, up = _env_arrays(group)
+        ids = group.column(id_col).to_numpy()
+        lmask = side == 0
+        li, ri = np.nonzero(lmask)[0], np.nonzero(~lmask)[0]
+        if len(li) == 0 or len(ri) == 0:
+            return pa.table({left_id: pa.array([], type=pa.int64()),
+                             right_id: pa.array([], type=pa.int64())})
+        tl = PTree(lo[li], up[li])
+        tr = PTree(lo[ri], up[ri])
+        a, b = tl.join(tr)
+        ga, gb = li[a], ri[b]
+        # owner-cell rule: intersection min corner must fall in this cell
+        ixmin = np.maximum(lo[ga, 0], lo[gb, 0])
+        iymin = np.maximum(lo[ga, 1], lo[gb, 1])
+        owner = G.owner_cell(ixmin, iymin, int(_cell_level(cell[0])), bounds)
+        keep = owner == cell[0]
+        return pa.table({left_id: ids[ga[keep]], right_id: ids[gb[keep]]})
+
+    return both.groupby("cell_id").map_groups(join_cell, batch_format="pyarrow")
+
+
+def _cell_level(cell_id: int) -> int:
+    return int(np.asarray(cell_id).astype(np.uint64) >> np.uint64(58))
+
+
+# --------------------------------------------------------------------------
+# cell directory — the distributed "root node" (SURVEY.md §2.6)
+# --------------------------------------------------------------------------
+
+def _partial_directory(batch: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Per-batch combiner: one row per key with envelope union + count
+    (envelope_for_children, node.rs:158-167, as an aggregate). Keeps the
+    groupby shuffle tiny — partials, not raw rows, are exchanged."""
+    if len(batch) == 0:
+        return pa.table(
+            {c: pa.array([], type=pa.int64()) for c in key_cols}
+            | {"n": pa.array([], type=pa.int64())}
+            | {c: pa.array([], type=pa.float64()) for c in ENV_COLS}
+        )
+    keys = np.stack([batch.column(c).to_numpy() for c in key_cols], axis=1)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    k = len(uniq)
+    n = np.bincount(inv, minlength=k)
+    lo, up = _env_arrays(batch)
+    minx = np.full(k, np.inf); miny = np.full(k, np.inf)
+    maxx = np.full(k, -np.inf); maxy = np.full(k, -np.inf)
+    np.minimum.at(minx, inv, lo[:, 0]); np.minimum.at(miny, inv, lo[:, 1])
+    np.maximum.at(maxx, inv, up[:, 0]); np.maximum.at(maxy, inv, up[:, 1])
+    return pa.table(
+        {key_cols[i]: uniq[:, i] for i in range(len(key_cols))}
+        | {"n": n.astype(np.int64), "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy}
+    )
+
+
+def cell_directory(ds, level: int, bounds: G.Bounds):
+    """groupby(cell_id) -> (n, envelope union) per occupied cell.
+
+    The result is SMALL (one row per cell) and is the planner's pruning
+    structure — the distributed analogue of the reference tree's upper
+    levels. Partial aggregation inside map_batches keeps the all-to-all
+    exchange proportional to #cells, not #rows.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    part = ds.map_batches(
+        lambda b: _partial_directory(assign_owner_cells(b, level, bounds), ["cell_id"]),
+        batch_format="pyarrow",
+    )
+    return part.groupby("cell_id").aggregate(
+        Sum("n", alias_name="n"),
+        Min("minx", alias_name="minx"),
+        Min("miny", alias_name="miny"),
+        Max("maxx", alias_name="maxx"),
+        Max("maxy", alias_name="maxy"),
+    )
+
+
+def tile_histogram(ds, nx: int, ny: int, bounds: G.Bounds):
+    """Row-major tile assignment + per-tile aggregate — the raster-tile
+    side of the tile<->geometry join surface, with an ANSI-SQL oracle
+    (floor arithmetic, no Morton interleave)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def tiled(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("tile_x", pa.array([], type=pa.int64())) \
+                        .append_column("tile_y", pa.array([], type=pa.int64()))
+        x = batch.column("minx").to_numpy()
+        y = batch.column("miny").to_numpy()
+        tx = np.clip(np.floor((x - bounds.minx) / bounds.width * nx).astype(np.int64), 0, nx - 1)
+        ty = np.clip(np.floor((y - bounds.miny) / bounds.height * ny).astype(np.int64), 0, ny - 1)
+        return batch.append_column("tile_x", pa.array(tx)).append_column("tile_y", pa.array(ty))
+
+    part = ds.map_batches(
+        lambda b: _partial_directory(tiled(b), ["tile_x", "tile_y"]),
+        batch_format="pyarrow",
+    )
+    return part.groupby(["tile_x", "tile_y"]).aggregate(
+        Sum("n", alias_name="n"),
+        Min("minx", alias_name="minx"),
+        Min("miny", alias_name="miny"),
+        Max("maxx", alias_name="maxx"),
+        Max("maxy", alias_name="maxy"),
+    )

@@ -1,0 +1,138 @@
+"""Dataset operators vs DuckDB brute-force oracles on real testdata
+(sf0.001) — the distributed analogue of the reference's linear-scan
+comparison tests (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from geograft import fixtures as FX
+from geograft import ops
+
+
+@pytest.fixture(scope="module")
+def con(sf_small):
+    c = duckdb.connect()
+    for t in ["events", "lineitem", "supplier", "part"]:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_small}/{t}.parquet')"
+        )
+    return c
+
+
+def ids(ds):
+    return np.sort(ds.to_pandas()["id"].to_numpy())
+
+
+def test_locate_in_envelope_points(ray_session, con, sf_small):
+    ds = ops.locate_in_envelope(FX.points_ds(sf_small), 5.0, 10.0, 20.0, 40.0)
+    want = con.sql(
+        f"SELECT id FROM ({FX.POINTS_SQL}) WHERE x BETWEEN 5 AND 20 AND y BETWEEN 10 AND 40 ORDER BY id"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(ids(ds), want)
+
+
+def test_locate_in_envelope_rects_contained_and_intersecting(ray_session, con, sf_small):
+    q = (1000.0, 10.0, 30000.0, 60.0)
+    got_c = ids(ops.locate_in_envelope(FX.rects_ds(sf_small), *q))
+    want_c = con.sql(
+        f"SELECT id FROM ({FX.RECTS_SQL}) WHERE minx >= {q[0]} AND miny >= {q[1]} "
+        f"AND maxx <= {q[2]} AND maxy <= {q[3]} ORDER BY id"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(got_c, want_c)
+
+    got_i = ids(ops.locate_in_envelope_intersecting(FX.rects_ds(sf_small), *q))
+    want_i = con.sql(
+        f"SELECT id FROM ({FX.RECTS_SQL}) WHERE minx <= {q[2]} AND maxx >= {q[0]} "
+        f"AND miny <= {q[3]} AND maxy >= {q[1]} ORDER BY id"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(got_i, want_i)
+    assert len(want_i) > len(want_c) > 0, "fixture constants give a meaningful query"
+
+
+def test_locate_at_point_rects(ray_session, con, sf_small):
+    # pick a point guaranteed inside at least one rect
+    row = con.sql(f"SELECT minx, miny FROM ({FX.RECTS_SQL}) LIMIT 1").fetchall()[0]
+    px, py = row[0] + 0.5, row[1] + 0.5
+    got = ids(ops.locate_all_at_point(FX.rects_ds(sf_small), px, py))
+    want = con.sql(
+        f"SELECT id FROM ({FX.RECTS_SQL}) WHERE minx <= {px} AND maxx >= {px} "
+        f"AND miny <= {py} AND maxy >= {py} ORDER BY id"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(got, want)
+    assert len(want) >= 1
+
+
+def test_locate_within_distance_points(ray_session, con, sf_small):
+    qx, qy, r2 = 50.0, 8.0, 400.0
+    got = ids(ops.locate_within_distance(FX.points_ds(sf_small), qx, qy, r2))
+    want = con.sql(
+        f"SELECT id FROM ({FX.POINTS_SQL}) "
+        f"WHERE (x-{qx})*(x-{qx}) + (y-{qy})*(y-{qy}) <= {r2} ORDER BY id"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(got, want)
+    assert len(want) > 0
+
+
+def test_knn_vs_sql(ray_session, con, sf_small):
+    import pyarrow as pa
+
+    queries = pa.table({"qid": [0, 1], "x": [100.0, 350.0], "y": [50.0, 120.0]})
+    out = ops.knn(FX.points_ds(sf_small), queries, k=7).to_pandas()
+    for qid, qx, qy in [(0, 100.0, 50.0), (1, 350.0, 120.0)]:
+        got = out[out["qid"] == qid].sort_values(["dist2", "id"])["id"].to_numpy()
+        want = con.sql(
+            f"SELECT id FROM ({FX.POINTS_SQL}) "
+            f"ORDER BY (x-{qx})*(x-{qx}) + (y-{qy})*(y-{qy}), id LIMIT 7"
+        ).df()["id"].to_numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+def test_nearest_neighbors_ties(ray_session, con, sf_small):
+    got = ops.nearest_neighbors_all_ties(FX.points_ds(sf_small), 100.0, 50.0)
+    want = con.sql(
+        f"WITH d AS (SELECT id, (x-100.0)*(x-100.0) + (y-50.0)*(y-50.0) AS d2 "
+        f"FROM ({FX.POINTS_SQL})) SELECT id FROM d WHERE d2 = (SELECT min(d2) FROM d) ORDER BY id"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(got["id"].to_numpy(), want)
+
+
+def test_spatial_join_vs_sql(ray_session, con, sf_small):
+    out = ops.spatial_join(
+        FX.join_left_ds(sf_small), FX.join_right_ds(sf_small), level=4, bounds=FX.JOIN_BOUNDS
+    ).to_pandas()
+    got = set(zip(out["left_id"], out["right_id"]))
+    want = con.sql(
+        f"SELECT a.id, b.id FROM ({FX.JOIN_LEFT_SQL}) a, ({FX.JOIN_RIGHT_SQL}) b "
+        "WHERE a.minx <= b.maxx AND a.maxx >= b.minx AND a.miny <= b.maxy AND a.maxy >= b.miny"
+    ).fetchall()
+    assert got == set(want)
+    assert len(out) == len(got), "owner-cell dedup yields exactly-once pairs"
+    assert len(got) > 0
+
+
+def test_drain_split(ray_session, con, sf_small):
+    q = (5.0, 10.0, 20.0, 40.0)
+    drained, surviving = ops.drain_in_envelope(FX.points_ds(sf_small), *q)
+    nd, ns = drained.count(), surviving.count()
+    total = con.sql("SELECT count(*) FROM events").fetchall()[0][0]
+    assert nd + ns == total
+    want = con.sql(
+        f"SELECT count(*) FROM ({FX.POINTS_SQL}) WHERE x BETWEEN 5 AND 20 AND y BETWEEN 10 AND 40"
+    ).fetchall()[0][0]
+    assert nd == want
+
+
+def test_selection_function_udf(ray_session, con, sf_small):
+    # mirrors the custom-SF example (iterators.rs:328-360): all x < 100
+    got = ids(
+        ops.locate_with_selection_function(
+            FX.points_ds(sf_small), lambda b: b.column("minx").to_numpy() < 100.0
+        )
+    )
+    want = con.sql(f"SELECT id FROM ({FX.POINTS_SQL}) WHERE x < 100 ORDER BY id").df()[
+        "id"
+    ].to_numpy()
+    np.testing.assert_array_equal(got, want)
