@@ -32,13 +32,12 @@ SEL_X = 100.0                               # custom selection function: x < SEL
 def entry() -> Any:
     """Flagship at sf0.001: events -> interleaved docs -> span explode ->
     geo parse -> owner-cell assignment -> cell directory (small result)."""
-    import ray.data as rd
-
     from geograft import fixtures as FX
     from geograft import ops, synth
+    from geograft.io import read_parquet_sized
 
-    docs = rd.read_parquet(f"{SF_SMALL}/events.parquet").map_batches(
-        synth.docs_from_events, batch_format="pyarrow"
+    docs = read_parquet_sized(f"{SF_SMALL}/events.parquet").map_batches(
+        synth.docs_from_events, batch_format="pyarrow", batch_size=None
     )
     geoms = ops.extract_geometries(docs)
     return ops.cell_directory(geoms, level=6, bounds=FX.POINTS_BOUNDS)
@@ -132,12 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interleaved-doc round trip: synthesize docs from events, explode
         # spans, parse geo text back to exact coordinates
         import pyarrow as pa
-        import ray.data as rd
 
         from geograft import synth as S
+        from geograft.io import read_parquet_sized
 
-        docs = rd.read_parquet(f"{sf}/events.parquet").map_batches(
-            S.docs_from_events, batch_format="pyarrow"
+        docs = read_parquet_sized(f"{sf}/events.parquet").map_batches(
+            S.docs_from_events, batch_format="pyarrow", batch_size=None
         )
         geoms = ops.extract_geometries(docs)
 

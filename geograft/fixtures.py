@@ -29,9 +29,9 @@ POINTS_SQL = (
 
 
 def points_ds(sf_dir: str):
-    import ray.data as rd
+    from .io import read_parquet_sized
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value", "user_id"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id", "value", "user_id"])
 
     def f(b: pa.Table) -> pa.Table:
         x = b.column("value").to_numpy()
@@ -45,7 +45,7 @@ def points_ds(sf_dir: str):
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 # world bounds for the events fixture: value <= ~561, user_id <= 1499 at
@@ -68,9 +68,9 @@ RECTS_SQL = (
 
 
 def rects_ds(sf_dir: str):
-    import ray.data as rd
+    from .io import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice",
                  "l_quantity", "l_discount", "l_tax"],
@@ -92,7 +92,7 @@ def rects_ds(sf_dir: str):
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 RECTS_BOUNDS = G.Bounds(-1.0, -1.0, 120000.0, 200.0)
@@ -112,9 +112,9 @@ JOIN_RIGHT_SQL = (
 
 
 def join_left_ds(sf_dir: str):
-    import ray.data as rd
+    from .io import read_parquet_sized
 
-    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal", "s_nationkey"])
+    ds = read_parquet_sized(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal", "s_nationkey"])
 
     def f(b: pa.Table) -> pa.Table:
         x = b.column("s_acctbal").to_numpy()
@@ -124,13 +124,13 @@ def join_left_ds(sf_dir: str):
              "maxx": x + 2000.0, "maxy": y + 3.0}
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def join_right_ds(sf_dir: str):
-    import ray.data as rd
+    from .io import read_parquet_sized
 
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"])
+    ds = read_parquet_sized(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"])
 
     def f(b: pa.Table) -> pa.Table:
         x = b.column("p_retailprice").to_numpy()
@@ -140,7 +140,7 @@ def join_right_ds(sf_dir: str):
              "maxx": x + 150.0, "maxy": y + 2.0}
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 JOIN_BOUNDS = G.Bounds(-1100.0, -1.0, 12000.0, 40.0)

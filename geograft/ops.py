@@ -140,7 +140,7 @@ def _empty_geom_table() -> pa.Table:
 def extract_geometries(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """docs -> geometry rows: explode + parse in one fused stateless stage."""
     return docs_ds.map_batches(
-        lambda b: parse_geo_spans(explode_spans(b)), batch_format="pyarrow"
+        lambda b: parse_geo_spans(explode_spans(b)), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -192,7 +192,7 @@ def locate_in_envelope(ds, qminx, qminy, qmaxx, qmaxy) -> "ray.data.Dataset":
         lo, up = _env_arrays(batch)
         return batch.filter(pa.array(K.env_contains_env(qlo[None], qhi[None], lo, up)))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def locate_in_envelope_intersecting(ds, qminx, qminy, qmaxx, qmaxy) -> "ray.data.Dataset":
@@ -204,7 +204,7 @@ def locate_in_envelope_intersecting(ds, qminx, qminy, qmaxx, qmaxy) -> "ray.data
         lo, up = _env_arrays(batch)
         return batch.filter(pa.array(K.env_intersects(lo, up, qlo, qhi)))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def locate_all_at_point(ds, x, y) -> "ray.data.Dataset":
@@ -232,7 +232,7 @@ def locate_all_at_point(ds, x, y) -> "ray.data.Dataset":
                 keep[is_line] &= line_keep
         return batch.filter(pa.array(keep))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def locate_within_distance(ds, x, y, r2) -> "ray.data.Dataset":
@@ -245,7 +245,7 @@ def locate_within_distance(ds, x, y, r2) -> "ray.data.Dataset":
         d2 = _exact_distance_2(batch, q)
         return batch.filter(pa.array(d2 <= r2))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def _exact_distance_2(batch: pa.Table, q: np.ndarray) -> np.ndarray:
@@ -267,7 +267,7 @@ def locate_with_selection_function(ds, keep_rows) -> "ray.data.Dataset":
     pruning (should_unpack_parent) happens at the planner via the cell
     directory when an index is attached."""
     return ds.map_batches(
-        lambda b: b.filter(pa.array(keep_rows(b))), batch_format="pyarrow"
+        lambda b: b.filter(pa.array(keep_rows(b))), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -285,8 +285,8 @@ def drain_in_envelope(ds, qminx, qminy, qmaxx, qmaxy, intersecting: bool = False
             return K.env_intersects(lo, up, qlo, qhi)
         return K.env_contains_env(qlo[None], qhi[None], lo, up)
 
-    drained = ds.map_batches(lambda b: b.filter(pa.array(mask(b))), batch_format="pyarrow")
-    surviving = ds.map_batches(lambda b: b.filter(pa.array(~mask(b))), batch_format="pyarrow")
+    drained = ds.map_batches(lambda b: b.filter(pa.array(mask(b))), batch_format="pyarrow", batch_size=None)
+    surviving = ds.map_batches(lambda b: b.filter(pa.array(~mask(b))), batch_format="pyarrow", batch_size=None)
     return drained, surviving
 
 
@@ -318,20 +318,19 @@ class _BatchKnn:
                 "dist2": pa.array([], type=pa.float64()),
             })
         ids = batch.column(self.id_col).to_numpy()
-        out_q, out_i, out_d = [], [], []
         lo, up = _env_arrays(batch)
-        for j in range(len(self.qid)):
-            d2 = K.env_distance_2(lo, up, self.qxy[j])
-            k = min(self.k, n)
-            part = np.argpartition(d2, k - 1)[:k]
-            out_q.append(np.full(k, self.qid[j], dtype=np.int64))
-            out_i.append(ids[part])
-            out_d.append(d2[part])
+        qx, qy = self.qxy[:, 0], self.qxy[:, 1]
+        # (n, Q) clamped squared distance — same op order as env_distance_2
+        dx = np.clip(qx[None, :], lo[:, 0:1], up[:, 0:1]) - qx[None, :]
+        dy = np.clip(qy[None, :], lo[:, 1:2], up[:, 1:2]) - qy[None, :]
+        d2 = dx * dx + dy * dy
+        k = min(self.k, n)
+        part = np.argpartition(d2, k - 1, axis=0)[:k]  # (k, Q)
         return pa.table(
             {
-                "qid": np.concatenate(out_q),
-                self.id_col: np.concatenate(out_i),
-                "dist2": np.concatenate(out_d),
+                "qid": np.repeat(self.qid, k),
+                self.id_col: ids[part].ravel(order="F"),
+                "dist2": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
             }
         )
 
@@ -357,6 +356,7 @@ def knn(ds, queries: pa.Table, k: int, id_col: str = "id", concurrency: int = 2)
         _BatchKnn,
         fn_constructor_args=(qref, k, id_col),
         batch_format="pyarrow",
+        batch_size=65536,
         concurrency=concurrency,
     )
 
@@ -380,7 +380,7 @@ def nearest_neighbors_all_ties(ds, x: float, y: float, id_col: str = "id"):
         keep = d2 == m
         return batch.filter(pa.array(keep)).append_column("dist2", pa.array(d2[keep]))
 
-    cand = ds.map_batches(local_min, batch_format="pyarrow")
+    cand = ds.map_batches(local_min, batch_format="pyarrow", batch_size=None)
     # small result: at most a handful of rows per input block survive
     pdf = cand.to_pandas()
     if len(pdf) == 0:
@@ -420,8 +420,8 @@ def spatial_join(
 
         return f
 
-    lrep = left.map_batches(prep(0), batch_format="pyarrow")
-    rrep = right.map_batches(prep(1), batch_format="pyarrow")
+    lrep = left.map_batches(prep(0), batch_format="pyarrow", batch_size=None)
+    rrep = right.map_batches(prep(1), batch_format="pyarrow", batch_size=None)
     both = lrep.union(rrep)
 
     def join_cell(group: pa.Table) -> pa.Table:
@@ -494,6 +494,7 @@ def cell_directory(ds, level: int, bounds: G.Bounds):
     part = ds.map_batches(
         lambda b: _partial_directory(assign_owner_cells(b, level, bounds), ["cell_id"]),
         batch_format="pyarrow",
+        batch_size=None,
     )
     return part.groupby("cell_id").aggregate(
         Sum("n", alias_name="n"),
@@ -523,6 +524,7 @@ def tile_histogram(ds, nx: int, ny: int, bounds: G.Bounds):
     part = ds.map_batches(
         lambda b: _partial_directory(tiled(b), ["tile_x", "tile_y"]),
         batch_format="pyarrow",
+        batch_size=None,
     )
     return part.groupby(["tile_x", "tile_y"]).aggregate(
         Sum("n", alias_name="n"),
