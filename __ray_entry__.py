@@ -91,6 +91,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = pa.table({"qid": [0], "x": [KNN_Q[0]], "y": [KNN_Q[1]]})
         return ops.knn(_points(sf), q, k=KNN_Q[2])
 
+    def indexed_knn(sf):
+        # two-level cell-directory kNN (SURVEY.md §3.3) — same oracle
+        import pyarrow as pa
+
+        q = pa.table({"qid": [0], "x": [KNN_Q[0]], "y": [KNN_Q[1]]})
+        return ops.indexed_knn(
+            _points(sf), q, k=KNN_Q[2], level=5, bounds=FX.POINTS_BOUNDS
+        )
+
     def nearest_neighbors_ties(sf):
         out = ops.nearest_neighbors_all_ties(_points(sf), *NN_Q)
         return out[["id", "dist2"]]
@@ -100,7 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
 
         q = pa.table({"qid": [0], "x": [NN_Q[0]], "y": [NN_Q[1]]})
-        nn = ops.knn(_points(sf), q, k=1).to_pandas()
+        nn = ops.knn(_points(sf), q, k=1)
         victim = int(nn["id"].iloc[0])
 
         def f(b):
@@ -154,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locate_within_distance": locate_within_distance,
         "contains": contains,
         "knn": knn,
+        "indexed_knn": indexed_knn,
         "nearest_neighbors_ties": nearest_neighbors_ties,
         "pop_nearest_neighbor": pop_nearest_neighbor,
         "spatial_join": spatial_join,
@@ -203,6 +213,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contains": f"SELECT id, x, y FROM ({P}) WHERE x = {cx} AND y = {cy}",
         "knn": (
+            f"SELECT 0 AS qid, id, (x-{kx})*(x-{kx}) + (y-{ky})*(y-{ky}) AS dist2 "
+            f"FROM ({P}) ORDER BY dist2, id LIMIT {kk}"
+        ),
+        "indexed_knn": (
             f"SELECT 0 AS qid, id, (x-{kx})*(x-{kx}) + (y-{ky})*(y-{ky}) AS dist2 "
             f"FROM ({P}) ORDER BY dist2, id LIMIT {kk}"
         ),

@@ -28,10 +28,13 @@ POINTS_SQL = (
 )
 
 
-def points_ds(sf_dir: str):
+def points_ds(sf_dir: str, num_blocks: int | None = None):
     from .io import read_parquet_sized
 
-    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id", "value", "user_id"])
+    kw = {} if num_blocks is None else {"override_num_blocks": num_blocks}
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value", "user_id"], **kw
+    )
 
     def f(b: pa.Table) -> pa.Table:
         x = b.column("value").to_numpy()

@@ -13,13 +13,21 @@ from __future__ import annotations
 import os
 
 TARGET_BLOCK_BYTES = 128 * 1024 * 1024
+# Small inputs are still split for parallelism, but never below this many
+# file bytes per block (per-task overhead would dominate), and never into
+# more than MAX_SMALL_PARALLELISM blocks.
+MIN_BLOCK_FILE_BYTES = 256 * 1024
+MAX_SMALL_PARALLELISM = 32
 
 
 def read_parquet_sized(path: str, columns: list[str] | None = None, **kwargs):
-    """read_parquet with block count proportional to file bytes.
+    """read_parquet with block count driven by data volume.
 
-    Parquet compresses ~3-4x vs in-memory Arrow, so blocks target
-    TARGET_BLOCK_BYTES/4 of file bytes each.
+    Large inputs: ~TARGET_BLOCK_BYTES of in-memory Arrow per block
+    (parquet compresses ~4x), i.e. ~800k blocks at 100 TB — streaming,
+    pipelined, spillable. Small inputs: enough blocks to keep every
+    core busy, floored at MIN_BLOCK_FILE_BYTES per block so vectorized
+    kernels aren't drowned in per-task overhead.
     """
     import ray.data as rd
 
@@ -33,5 +41,7 @@ def read_parquet_sized(path: str, columns: list[str] | None = None, **kwargs):
             for f in fs
         )
     if size and "override_num_blocks" not in kwargs:
-        kwargs["override_num_blocks"] = max(1, (size * 4) // TARGET_BLOCK_BYTES)
+        by_target = (size * 4) // TARGET_BLOCK_BYTES
+        small_par = min(MAX_SMALL_PARALLELISM, size // MIN_BLOCK_FILE_BYTES)
+        kwargs["override_num_blocks"] = int(max(1, by_target, small_par))
     return rd.read_parquet(path, columns=columns, **kwargs)

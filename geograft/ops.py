@@ -290,58 +290,123 @@ def drain_in_envelope(ds, qminx, qminy, qmaxx, qmaxy, intersecting: bool = False
     return drained, surviving
 
 
+def locate_in_envelope_multi(ds, boxes: "pa.Table", intersecting: bool = True):
+    """Batched envelope queries: one pass over the data answers ALL query
+    boxes (box_id, minx, miny, maxx, maxy), emitting (box_id, id) hits.
+    The box table is broadcast once via ray.put; the per-batch kernel is
+    a vectorized (rows x boxes) interval test in 4 comparisons."""
+    import ray
+
+    bref = ray.put(
+        {
+            "box_id": boxes.column("box_id").to_numpy(),
+            "lo": np.c_[boxes.column("minx").to_numpy(), boxes.column("miny").to_numpy()],
+            "up": np.c_[boxes.column("maxx").to_numpy(), boxes.column("maxy").to_numpy()],
+        }
+    )
+
+    def f(batch: pa.Table, bref=bref) -> pa.Table:
+        q = ray.get(bref)
+        lo, up = _env_arrays(batch)
+        ids = batch.column("id").to_numpy()
+        if intersecting:
+            hit = (
+                (lo[:, None, :] <= q["up"][None, :, :]).all(axis=2)
+                & (up[:, None, :] >= q["lo"][None, :, :]).all(axis=2)
+            )
+        else:
+            hit = (
+                (lo[:, None, :] >= q["lo"][None, :, :]).all(axis=2)
+                & (up[:, None, :] <= q["up"][None, :, :]).all(axis=2)
+            )
+        ri, bi = np.nonzero(hit)
+        return pa.table({"box_id": q["box_id"][bi], "id": ids[ri]})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=16384)
+
+
 # --------------------------------------------------------------------------
 # kNN — broadcast query matrix, per-batch vectorized top-k, small merge
 # --------------------------------------------------------------------------
 
-class _BatchKnn:
-    """Actor-pool stage: queries broadcast once per actor (ray.put ref in
-    __init__), per-batch vectorized distance + partial top-k. Emits at
-    most Q*k candidate rows per batch — the partial/combiner pattern that
-    keeps the final per-qid merge tiny."""
+# queries chunk size inside the kNN kernel: bounds the (rows x chunk)
+# distance-matrix allocation to ~tens of MB per task regardless of Q.
+_KNN_Q_CHUNK = 256
 
-    def __init__(self, queries_ref, k: int, id_col: str):
-        import ray
 
-        q = ray.get(queries_ref)
-        self.qid = q["qid"]
-        self.qxy = q["xy"]  # (Q, 2)
-        self.k = k
-        self.id_col = id_col
+def _knn_partial(batch: pa.Table, qref, k: int, id_col: str) -> pa.Table:
+    """Per-block combiner: local top-k per query, vectorized across a
+    chunk of queries at a time. Emits <= Q*k candidate rows per block."""
+    import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if n == 0:
-            return pa.table({
-                "qid": pa.array([], type=pa.int64()),
-                self.id_col: pa.array([], type=pa.int64()),
-                "dist2": pa.array([], type=pa.float64()),
-            })
-        ids = batch.column(self.id_col).to_numpy()
-        lo, up = _env_arrays(batch)
-        qx, qy = self.qxy[:, 0], self.qxy[:, 1]
-        # (n, Q) clamped squared distance — same op order as env_distance_2
+    n = len(batch)
+    if n == 0:
+        return pa.table({
+            "qid": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "dist2": pa.array([], type=pa.float64()),
+        })
+    q = ray.get(qref)  # zero-copy plasma read; shared across tasks
+    qid_all, qxy = q["qid"], q["xy"]
+    ids = batch.column(id_col).to_numpy()
+    lo, up = _env_arrays(batch)
+    k = min(k, n)
+    out_q, out_i, out_d = [], [], []
+    for s in range(0, len(qid_all), _KNN_Q_CHUNK):
+        qx = qxy[s : s + _KNN_Q_CHUNK, 0]
+        qy = qxy[s : s + _KNN_Q_CHUNK, 1]
+        # (n, chunk) clamped squared distance — same op order as env_distance_2
         dx = np.clip(qx[None, :], lo[:, 0:1], up[:, 0:1]) - qx[None, :]
         dy = np.clip(qy[None, :], lo[:, 1:2], up[:, 1:2]) - qy[None, :]
         d2 = dx * dx + dy * dy
-        k = min(self.k, n)
-        part = np.argpartition(d2, k - 1, axis=0)[:k]  # (k, Q)
-        return pa.table(
-            {
-                "qid": np.repeat(self.qid, k),
-                self.id_col: ids[part].ravel(order="F"),
-                "dist2": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
-            }
-        )
+        part = np.argpartition(d2, k - 1, axis=0)[:k]  # (k, chunk)
+        out_q.append(np.repeat(qid_all[s : s + _KNN_Q_CHUNK], k))
+        out_i.append(ids[part].ravel(order="F"))
+        out_d.append(np.take_along_axis(d2, part, axis=0).ravel(order="F"))
+    return pa.table(
+        {
+            "qid": np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "dist2": np.concatenate(out_d),
+        }
+    )
 
 
-def knn(ds, queries: pa.Table, k: int, id_col: str = "id", concurrency: int = 2):
+def _topk_per_qid(qid: np.ndarray, ids: np.ndarray, d2: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest (dist2, id) rows per qid — fully
+    vectorized (lexsort + group-boundary rank)."""
+    order = np.lexsort((ids, d2, qid))
+    qs = qid[order]
+    n = len(qs)
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = qs[1:] != qs[:-1]
+    group_start = np.maximum.accumulate(np.where(boundary, np.arange(n), 0))
+    rank = np.arange(n) - group_start
+    return order[rank < k]
+
+
+def _knn_reduce(batch: pa.Table, k: int, id_col: str) -> pa.Table:
+    qid = batch.column("qid").to_numpy()
+    if len(qid) == 0:
+        return batch
+    ids = batch.column(id_col).to_numpy()
+    d2 = batch.column("dist2").to_numpy()
+    keep = _topk_per_qid(qid, ids, d2, k)
+    return pa.table({"qid": qid[keep], id_col: ids[keep], "dist2": d2[keep]})
+
+
+def knn(ds, queries: pa.Table, k: int, id_col: str = "id",
+        reduce_blocks: int = 8):
     """First k of nearest_neighbor_iter (rtree.rs:1094-1122) for a batch
     of queries. Ties broken by (dist2, id) — deterministic where the
     reference leaves tie order unspecified.
 
-    queries: table with qid:int64, x:float64, y:float64 (broadcast via
-    ray.put — never re-shipped per batch).
+    Shape: the query matrix is broadcast ONCE via ray.put and read
+    zero-copy from the object store in every task (never re-shipped per
+    batch); each data block emits its local top-k per query; a
+    shuffle-free tree-reduce (repartition + combine) collapses the
+    candidate stream before a small vectorized merge on the driver.
     """
     import pandas as pd
     import ray
@@ -353,17 +418,26 @@ def knn(ds, queries: pa.Table, k: int, id_col: str = "id", concurrency: int = 2)
         }
     )
     cand = ds.map_batches(
-        _BatchKnn,
-        fn_constructor_args=(qref, k, id_col),
+        _knn_partial,
+        fn_args=(qref, k, id_col),
         batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=concurrency,
+        batch_size=None,
     )
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["dist2", id_col], kind="stable").head(k)
-
-    return cand.groupby("qid").map_groups(finalize, batch_format="pandas")
+    # shuffle-free combine: adjacent candidate blocks concatenated, then
+    # top-k of the union of top-ks (associative, so this is exact)
+    cand = cand.repartition(reduce_blocks).map_batches(
+        _knn_reduce, fn_args=(k, id_col), batch_format="pyarrow", batch_size=None
+    )
+    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    qid = tbl.column("qid").to_numpy()
+    if len(qid) == 0:
+        return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+    ids = tbl.column(id_col).to_numpy()
+    d2 = tbl.column("dist2").to_numpy()
+    keep = _topk_per_qid(qid, ids, d2, k)
+    order = np.lexsort((ids[keep], d2[keep], qid[keep]))
+    keep = keep[order]
+    return pd.DataFrame({"qid": qid[keep], id_col: ids[keep], "dist2": d2[keep]})
 
 
 def nearest_neighbors_all_ties(ds, x: float, y: float, id_col: str = "id"):
@@ -387,6 +461,153 @@ def nearest_neighbors_all_ties(ds, x: float, y: float, id_col: str = "id"):
         return pdf
     m = pdf["dist2"].min()
     return pdf[pdf["dist2"] == m].sort_values(id_col).reset_index(drop=True)
+
+
+def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
+                id_col: str = "id", directory=None):
+    """Two-level exact kNN (SURVEY.md §3.3): the scalable path.
+
+    1. PLAN (driver, vectorized over the SMALL cell directory): for each
+       query, sort occupied cells by lower-bound distance (cell_min_dist2
+       — the partition-granularity analogue of the envelope distance
+       pruning in nearest_neighbor.rs:261-270), accumulate counts until
+       >= k, take the accumulated cells' max-corner distance as a proven
+       upper bound ub, and select every cell with min_dist2 <= ub.
+    2. EXECUTE (one co-shuffle): points keyed by owner cell UNION queries
+       replicated to their candidate cells -> groupby(cell) -> per-cell
+       vectorized exact distances -> local top-k.
+    3. REDUCE: top-k of the union of local top-ks (exact, associative).
+
+    Work per query is proportional to the candidate cells' point count,
+    not the table size — this is what replaces the O(n*Q) brute force at
+    10^12-doc scale.
+    """
+    import pandas as pd
+    import ray
+
+    if directory is None:
+        directory = cell_directory(ds, level, bounds)
+    dirt = directory if isinstance(directory, pd.DataFrame) else directory.to_pandas()
+    cells = dirt["cell_id"].to_numpy()
+    counts = dirt["n"].to_numpy()
+    clo = np.c_[dirt["minx"].to_numpy(), dirt["miny"].to_numpy()]
+    cup = np.c_[dirt["maxx"].to_numpy(), dirt["maxy"].to_numpy()]
+
+    qid = queries.column("qid").to_numpy()
+    qx = queries.column("x").to_numpy()
+    qy = queries.column("y").to_numpy()
+    total = int(counts.sum())
+
+    # -- plan: (Q x C) bounds in query chunks -------------------------------
+    route_q: list[np.ndarray] = []
+    route_c: list[np.ndarray] = []
+    C = len(cells)
+    for s in range(0, len(qid), _KNN_Q_CHUNK):
+        cqx = qx[s : s + _KNN_Q_CHUNK, None]
+        cqy = qy[s : s + _KNN_Q_CHUNK, None]
+        dx = np.clip(cqx, clo[None, :, 0], cup[None, :, 0]) - cqx
+        dy = np.clip(cqy, clo[None, :, 1], cup[None, :, 1]) - cqy
+        mind2 = dx * dx + dy * dy                      # (q, C) lower bound
+        fx = np.maximum(np.abs(cqx - clo[None, :, 0]), np.abs(cqx - cup[None, :, 0]))
+        fy = np.maximum(np.abs(cqy - clo[None, :, 1]), np.abs(cqy - cup[None, :, 1]))
+        maxd2 = fx * fx + fy * fy                      # (q, C) upper bound
+        order = np.argsort(mind2, axis=1, kind="stable")
+        csum = np.cumsum(counts[order], axis=1)
+        if total <= k:
+            ub = np.full(len(csum), np.inf)
+        else:
+            first_ge = np.argmax(csum >= min(k, total), axis=1)
+            rows = np.arange(len(csum))
+            # ub = max over the accumulated prefix of cell max-corner dists
+            prefix_max = np.maximum.accumulate(
+                np.take_along_axis(maxd2, order, axis=1), axis=1
+            )
+            ub = prefix_max[rows, first_ge]
+        keepmask = mind2 <= ub[:, None]
+        qi, ci = np.nonzero(keepmask)
+        route_q.append(qid[s + qi])
+        route_c.append(cells[ci])
+    r_qid = np.concatenate(route_q)
+    r_cell = np.concatenate(route_c)
+    # map qid -> coordinates for the routed copies
+    qpos = {int(q): i for i, q in enumerate(qid)}
+    ridx = np.fromiter((qpos[int(q)] for q in r_qid), dtype=np.int64, count=len(r_qid))
+    routed = pa.table(
+        {
+            "cell_id": r_cell,
+            "side": np.ones(len(r_qid), dtype=np.int8),
+            "qid": r_qid,
+            id_col: np.zeros(len(r_qid), dtype=np.int64),
+            "x": qx[ridx],
+            "y": qy[ridx],
+        }
+    )
+
+    # points in cells no query candidates touch never enter the shuffle
+    hot_cells = np.unique(r_cell)
+
+    def prep_points(batch: pa.Table) -> pa.Table:
+        b = assign_owner_cells(batch, level, bounds)
+        keep = np.isin(b.column("cell_id").to_numpy(), hot_cells)
+        b = b.filter(pa.array(keep))
+        n = len(b)
+        return pa.table(
+            {
+                "cell_id": b.column("cell_id"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "qid": pa.array(np.zeros(n, dtype=np.int64)),
+                id_col: b.column(id_col),
+                "x": b.column("minx"),
+                "y": b.column("miny"),
+            }
+        )
+
+    import ray.data as rd
+
+    pts = ds.map_batches(prep_points, batch_format="pyarrow", batch_size=None)
+    both = pts.union(rd.from_arrow(routed))
+
+    def local_knn(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        isq = side == 1
+        if not isq.any() or isq.all():
+            return pa.table({
+                "qid": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "dist2": pa.array([], type=pa.float64()),
+            })
+        px = group.column("x").to_numpy()[~isq]
+        py = group.column("y").to_numpy()[~isq]
+        ids = group.column(id_col).to_numpy()[~isq]
+        gqx = group.column("x").to_numpy()[isq]
+        gqy = group.column("y").to_numpy()[isq]
+        gqid = group.column("qid").to_numpy()[isq]
+        dx = px[:, None] - gqx[None, :]
+        dy = py[:, None] - gqy[None, :]
+        d2 = dx * dx + dy * dy
+        kk = min(k, len(px))
+        part = np.argpartition(d2, kk - 1, axis=0)[:kk]
+        return pa.table(
+            {
+                "qid": np.repeat(gqid, kk),
+                id_col: ids[part].ravel(order="F"),
+                "dist2": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
+            }
+        )
+
+    cand = both.groupby("cell_id").map_groups(local_knn, batch_format="pyarrow")
+    import pandas as pd
+
+    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()), promote_options="default")
+    g_qid = tbl.column("qid").to_numpy()
+    if len(g_qid) == 0:
+        return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+    g_ids = tbl.column(id_col).to_numpy()
+    g_d2 = tbl.column("dist2").to_numpy()
+    keep = _topk_per_qid(g_qid, g_ids, g_d2, k)
+    order = np.lexsort((g_ids[keep], g_d2[keep], g_qid[keep]))
+    keep = keep[order]
+    return pd.DataFrame({"qid": g_qid[keep], id_col: g_ids[keep], "dist2": g_d2[keep]})
 
 
 # --------------------------------------------------------------------------

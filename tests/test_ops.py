@@ -80,7 +80,7 @@ def test_knn_vs_sql(ray_session, con, sf_small):
     import pyarrow as pa
 
     queries = pa.table({"qid": [0, 1], "x": [100.0, 350.0], "y": [50.0, 120.0]})
-    out = ops.knn(FX.points_ds(sf_small), queries, k=7).to_pandas()
+    out = ops.knn(FX.points_ds(sf_small), queries, k=7)
     for qid, qx, qy in [(0, 100.0, 50.0), (1, 350.0, 120.0)]:
         got = out[out["qid"] == qid].sort_values(["dist2", "id"])["id"].to_numpy()
         want = con.sql(
@@ -88,6 +88,47 @@ def test_knn_vs_sql(ray_session, con, sf_small):
             f"ORDER BY (x-{qx})*(x-{qx}) + (y-{qy})*(y-{qy}), id LIMIT 7"
         ).df()["id"].to_numpy()
         np.testing.assert_array_equal(got, want)
+
+
+def test_indexed_knn_matches_brute_and_sql(ray_session, con, sf_small):
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    qn = 60
+    queries = pa.table(
+        {
+            "qid": np.arange(qn),
+            "x": rng.uniform(0, 400, qn),
+            "y": rng.uniform(0, 15, qn),
+        }
+    )
+    for level in (3, 5):
+        out = ops.indexed_knn(
+            FX.points_ds(sf_small), queries, k=5, level=level, bounds=FX.POINTS_BOUNDS
+        )
+        brute = ops.knn(FX.points_ds(sf_small), queries, k=5)
+        assert out[["qid", "id"]].reset_index(drop=True).equals(
+            brute[["qid", "id"]].reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(out["dist2"].to_numpy(), brute["dist2"].to_numpy())
+    # spot-check one query against SQL
+    qx, qy = float(queries["x"][0].as_py()), float(queries["y"][0].as_py())
+    want = con.sql(
+        f"SELECT id FROM ({FX.POINTS_SQL}) "
+        f"ORDER BY (x-{qx})*(x-{qx}) + (y-{qy})*(y-{qy}), id LIMIT 5"
+    ).df()["id"].to_numpy()
+    got = out[out["qid"] == 0]["id"].to_numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_indexed_knn_k_exceeds_total(ray_session, sf_small):
+    import pyarrow as pa
+
+    queries = pa.table({"qid": [0], "x": [10.0], "y": [5.0]})
+    out = ops.indexed_knn(
+        FX.points_ds(sf_small), queries, k=10**6, level=4, bounds=FX.POINTS_BOUNDS
+    )
+    assert len(out) == 1000  # all points returned when k > n
 
 
 def test_nearest_neighbors_ties(ray_session, con, sf_small):
