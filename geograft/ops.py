@@ -309,20 +309,25 @@ def locate_in_envelope_multi(ds, boxes: "pa.Table", intersecting: bool = True):
         q = ray.get(bref)
         lo, up = _env_arrays(batch)
         ids = batch.column("id").to_numpy()
-        if intersecting:
-            hit = (
-                (lo[:, None, :] <= q["up"][None, :, :]).all(axis=2)
-                & (up[:, None, :] >= q["lo"][None, :, :]).all(axis=2)
-            )
-        else:
-            hit = (
-                (lo[:, None, :] >= q["lo"][None, :, :]).all(axis=2)
-                & (up[:, None, :] <= q["up"][None, :, :]).all(axis=2)
-            )
-        ri, bi = np.nonzero(hit)
-        return pa.table({"box_id": q["box_id"][bi], "id": ids[ri]})
+        # per-block packed R-tree, built once, amortized over all boxes —
+        # pruned traversal beats the dense (rows x boxes) matrix on both
+        # work and memory bandwidth
+        tree = PTree(lo, up)
+        out_b, out_i = [], []
+        for j in range(len(q["box_id"])):
+            if intersecting:
+                idx = tree.locate_in_envelope_intersecting(q["lo"][j], q["up"][j])
+            else:
+                idx = tree.locate_in_envelope(q["lo"][j], q["up"][j])
+            if len(idx):
+                out_b.append(np.full(len(idx), q["box_id"][j], dtype=np.int64))
+                out_i.append(ids[idx])
+        if not out_b:
+            return pa.table({"box_id": pa.array([], type=pa.int64()),
+                             "id": pa.array([], type=pa.int64())})
+        return pa.table({"box_id": np.concatenate(out_b), "id": np.concatenate(out_i)})
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=16384)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 # --------------------------------------------------------------------------
@@ -498,13 +503,10 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
     qy = queries.column("y").to_numpy()
     total = int(counts.sum())
 
-    # -- plan: (Q x C) bounds in query chunks -------------------------------
-    route_q: list[np.ndarray] = []
-    route_c: list[np.ndarray] = []
-    C = len(cells)
-    for s in range(0, len(qid), _KNN_Q_CHUNK):
-        cqx = qx[s : s + _KNN_Q_CHUNK, None]
-        cqy = qy[s : s + _KNN_Q_CHUNK, None]
+    def plan_chunk(cqid, cqx1, cqy1):
+        """Route one chunk of queries -> (qid, cell_id, x, y) replicas."""
+        cqx = cqx1[:, None]
+        cqy = cqy1[:, None]
         dx = np.clip(cqx, clo[None, :, 0], cup[None, :, 0]) - cqx
         dy = np.clip(cqy, clo[None, :, 1], cup[None, :, 1]) - cqy
         mind2 = dx * dx + dy * dy                      # (q, C) lower bound
@@ -523,33 +525,65 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
                 np.take_along_axis(maxd2, order, axis=1), axis=1
             )
             ub = prefix_max[rows, first_ge]
-        keepmask = mind2 <= ub[:, None]
-        qi, ci = np.nonzero(keepmask)
-        route_q.append(qid[s + qi])
-        route_c.append(cells[ci])
-    r_qid = np.concatenate(route_q)
-    r_cell = np.concatenate(route_c)
-    # map qid -> coordinates for the routed copies
-    qpos = {int(q): i for i, q in enumerate(qid)}
-    ridx = np.fromiter((qpos[int(q)] for q in r_qid), dtype=np.int64, count=len(r_qid))
-    routed = pa.table(
-        {
-            "cell_id": r_cell,
-            "side": np.ones(len(r_qid), dtype=np.int8),
-            "qid": r_qid,
-            id_col: np.zeros(len(r_qid), dtype=np.int64),
-            "x": qx[ridx],
-            "y": qy[ridx],
-        }
-    )
+        qi, ci = np.nonzero(mind2 <= ub[:, None])
+        return cqid[qi], cells[ci], cqx1[qi], cqy1[qi]
 
-    # points in cells no query candidates touch never enter the shuffle
-    hot_cells = np.unique(r_cell)
+    # planning is itself a parallel stage for big query sets; small sets
+    # plan on the driver (cheaper than a Ray stage round-trip)
+    if len(qid) > 4 * _KNN_Q_CHUNK:
+        import ray.data as rd
+
+        def plan_batch(b: pa.Table) -> pa.Table:
+            pq_, pc_, px_, py_ = plan_chunk(
+                b.column("qid").to_numpy(),
+                b.column("x").to_numpy(),
+                b.column("y").to_numpy(),
+            )
+            n = len(pq_)
+            return pa.table(
+                {
+                    "cell_id": pc_,
+                    "side": np.ones(n, dtype=np.int8),
+                    "qid": pq_,
+                    id_col: np.zeros(n, dtype=np.int64),
+                    "x": px_,
+                    "y": py_,
+                }
+            )
+
+        qds = rd.from_arrow(queries).repartition(
+            max(1, len(qid) // (4 * _KNN_Q_CHUNK))
+        )
+        routed = qds.map_batches(plan_batch, batch_format="pyarrow", batch_size=_KNN_Q_CHUNK)
+        hot_cells = None
+    else:
+        route_q, route_c, route_x, route_y = [], [], [], []
+        for s in range(0, len(qid), _KNN_Q_CHUNK):
+            pq_, pc_, px_, py_ = plan_chunk(
+                qid[s : s + _KNN_Q_CHUNK], qx[s : s + _KNN_Q_CHUNK], qy[s : s + _KNN_Q_CHUNK]
+            )
+            route_q.append(pq_); route_c.append(pc_)
+            route_x.append(px_); route_y.append(py_)
+        r_qid = np.concatenate(route_q)
+        r_cell = np.concatenate(route_c)
+        routed = pa.table(
+            {
+                "cell_id": r_cell,
+                "side": np.ones(len(r_qid), dtype=np.int8),
+                "qid": r_qid,
+                id_col: np.zeros(len(r_qid), dtype=np.int64),
+                "x": np.concatenate(route_x),
+                "y": np.concatenate(route_y),
+            }
+        )
+        # points in cells no query candidate touches never enter the shuffle
+        hot_cells = np.unique(r_cell)
 
     def prep_points(batch: pa.Table) -> pa.Table:
         b = assign_owner_cells(batch, level, bounds)
-        keep = np.isin(b.column("cell_id").to_numpy(), hot_cells)
-        b = b.filter(pa.array(keep))
+        if hot_cells is not None:
+            keep = np.isin(b.column("cell_id").to_numpy(), hot_cells)
+            b = b.filter(pa.array(keep))
         n = len(b)
         return pa.table(
             {
@@ -565,7 +599,8 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
     import ray.data as rd
 
     pts = ds.map_batches(prep_points, batch_format="pyarrow", batch_size=None)
-    both = pts.union(rd.from_arrow(routed))
+    routed_ds = routed if not isinstance(routed, pa.Table) else rd.from_arrow(routed)
+    both = pts.union(routed_ds)
 
     def local_knn(group: pa.Table) -> pa.Table:
         side = group.column("side").to_numpy()
