@@ -528,9 +528,10 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
         qi, ci = np.nonzero(mind2 <= ub[:, None])
         return cqid[qi], cells[ci], cqx1[qi], cqy1[qi]
 
-    # planning is itself a parallel stage for big query sets; small sets
-    # plan on the driver (cheaper than a Ray stage round-trip)
-    if len(qid) > 4 * _KNN_Q_CHUNK:
+    # planning is itself a parallel stage for very big query sets; below
+    # that the extra Ray stage round-trip costs more than driver planning
+    # (~0.1 ms/query) saves
+    if len(qid) > 100_000:
         import ray.data as rd
 
         def plan_batch(b: pa.Table) -> pa.Table:
