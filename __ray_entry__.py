@@ -154,6 +154,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return geoms.map_batches(rename, batch_format="pyarrow")
 
+    # ---- training-data ops (documents / embeddings tables) ----------------
+    from geograft import annops as A
+    from geograft import textops as T
+    from geograft.io import read_parquet_sized
+
+    def _docs(sf):
+        return read_parquet_sized(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    def dedup_exact(sf):
+        return T.dedup_exact(_docs(sf))
+
+    def token_stats(sf):
+        return T.token_stats(_docs(sf))
+
+    def jaccard_pairs(sf):
+        return T.jaccard_pairs_exact(_docs(sf), tau=0.5)
+
+    def neardup_minhash(sf):
+        # probabilistic recall -> rows-only check; soundness proven in pytest
+        return T.neardup_minhash(_docs(sf), tau=0.8)
+
+    def lang_id(sf):
+        return T.lang_id(_docs(sf))
+
+    def simhash(sf):
+        return T.simhash(_docs(sf))
+
+    def doc_fingerprint(sf):
+        return T.fingerprint(_docs(sf))
+
+    def ann_cosine_topk(sf):
+        import pyarrow.parquet as pq
+
+        q = pq.read_table(
+            f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
+        )
+        qv = A._emb_matrix(q)
+        out = A.cosine_topk(
+            read_parquet_sized(f"{sf}/embeddings.parquet"), qv, k=10
+        )
+        return out[["vec_id"]]
+
+    def ann_cosine_topk_lsh(sf):
+        import pyarrow.parquet as pq
+
+        q = pq.read_table(
+            f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
+        )
+        qv = A._emb_matrix(q)
+        out = A.cosine_topk_lsh(
+            read_parquet_sized(f"{sf}/embeddings.parquet"), qv, k=10,
+            n_planes=6, multiprobe=2,
+        )
+        return out[["vec_id"]]
+
+    def embedding_neardup(sf):
+        return A.embedding_neardup(
+            read_parquet_sized(f"{sf}/embeddings.parquet"), threshold=0.9
+        )
+
     return {
         "iter_all": iter_all,
         "locate_in_envelope": locate_in_envelope,
@@ -171,6 +231,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selection_function": selection_function,
         "tile_histogram": tile_histogram,
         "extract_geo_spans": extract_geo_spans,
+        "dedup_exact": dedup_exact,
+        "token_stats": token_stats,
+        "jaccard_pairs": jaccard_pairs,
+        "neardup_minhash": neardup_minhash,
+        "lang_id": lang_id,
+        "simhash": simhash,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+        "embedding_neardup": embedding_neardup,
     }
 
 
@@ -249,5 +319,36 @@ def oracle_sql() -> dict[str, str]:
         "extract_geo_spans": (
             "SELECT 'd' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS doc_id, "
             "value AS x, CAST(user_id AS DOUBLE) AS y FROM events"
+        ),
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens, "
+            "length(text)::BIGINT AS n_chars_q, "
+            "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits, "
+            "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio "
+            "FROM documents"
+        ),
+        "jaccard_pairs": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh "
+            "FROM t, unnest(generate_series(1, len(w)-2)) AS u(i)), "
+            "d AS (SELECT DISTINCT doc_id, sh FROM g), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c "
+            "FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2) "
+            "SELECT a, b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
+            "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
+        ),
+        # neardup_minhash / lang_id / simhash / doc_fingerprint /
+        # ann_cosine_topk_lsh / embedding_neardup: probabilistic or
+        # model-style ops -> no SQL oracle (driver records rows-only);
+        # their exactness/soundness oracles live in tests/.
+        "ann_cosine_topk": (
+            "SELECT vec_id FROM embeddings ORDER BY "
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "
+            "vec_id LIMIT 10"
         ),
     }

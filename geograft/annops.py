@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (the exact answer, and the verification oracle
+for everything approximate). Scale path: LSH hyperplane bucketing —
+sign-bit bucket keys drive a groupby so each query only scans its
+bucket (+multiprobe neighbors); recall is tested against brute force.
+Embedding near-duplicate detection reuses the same kernels with a
+cosine threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) float64 from a list<float> column — zero-copy flatten."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.sqrt(np.einsum("ij,ij->i", m, m))
+    norm[norm == 0] = 1.0
+    return m / norm[:, None]
+
+
+def cosine_topk(ds, query_vecs: np.ndarray, k: int,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact brute-force cosine top-k for Q query vectors.
+
+    Per batch: one (n x d) @ (d x Q) matmul + per-query argpartition;
+    per-block partial top-k then a vectorized global merge (same
+    reduce shape as ops.knn). Returns (qid, vec_id, cos) sorted by
+    (qid, -cos, vec_id).
+    """
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    qref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        n = len(batch)
+        if n == 0:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy()
+        sims = m @ qm.T                      # (n, Q)
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        return pa.table(
+            {
+                "qid": np.repeat(np.arange(qm.shape[0], dtype=np.int64), kk),
+                id_col: ids[part].ravel(order="F"),
+                "cos": np.take_along_axis(sims, part, axis=0).ravel(order="F"),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    qid = tbl.column("qid").to_numpy()
+    if len(qid) == 0:
+        return pd.DataFrame({"qid": [], id_col: [], "cos": []})
+    ids = tbl.column(id_col).to_numpy()
+    cos = tbl.column("cos").to_numpy()
+    order = np.lexsort((ids, -cos, qid))
+    qs = qid[order]
+    boundary = np.empty(len(qs), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = qs[1:] != qs[:-1]
+    group_start = np.maximum.accumulate(np.where(boundary, np.arange(len(qs)), 0))
+    keep = order[np.arange(len(qs)) - group_start < k]
+    return pd.DataFrame({"qid": qid[keep], id_col: ids[keep], "cos": cos[keep]})
+
+
+def _hyperplanes(d: int, n_planes: int = 12, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, d))
+
+
+def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    out = np.zeros(len(m), dtype=np.int64)
+    for i in range(planes.shape[0]):
+        out |= bits[:, i].astype(np.int64) << i
+    return out
+
+
+def cosine_topk_lsh(ds, query_vecs: np.ndarray, k: int,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    n_planes: int = 8, multiprobe: int = 1):
+    """Approximate cosine top-k: hyperplane LSH bucket scan.
+
+    Vectors are bucketed by sign bits of `n_planes` random projections;
+    each query scans only its own bucket plus all buckets within
+    `multiprobe` Hamming distance. Work per query drops ~2^n_planes-fold
+    at the cost of recall (measured against cosine_topk in tests) —
+    the IVF/LSH 'scale path' of SURVEY.md's similarity-search item.
+    """
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    planes = _hyperplanes(q.shape[1], n_planes)
+    qb = lsh_bucket_ids(q, planes)
+    # query -> probed buckets (own + all buckets within hamming<=multiprobe)
+    probe_sets = []
+    for b in qb:
+        probes = {int(b)}
+        if multiprobe >= 1:
+            for i in range(n_planes):
+                probes.add(int(b) ^ (1 << i))
+        if multiprobe >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    probes.add(int(b) ^ (1 << i) ^ (1 << j))
+        probe_sets.append(probes)
+    wanted: dict[int, list[int]] = {}
+    for qi, probes in enumerate(probe_sets):
+        for p in probes:
+            wanted.setdefault(p, []).append(qi)
+    qref = ray.put({"q": q, "wanted": wanted, "planes": planes})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = ray.get(qref)
+        n = len(batch)
+        if n == 0:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy()
+        buckets = lsh_bucket_ids(m, st["planes"])
+        out_q, out_i, out_c = [], [], []
+        for b in np.unique(buckets):
+            qis = st["wanted"].get(int(b))
+            if not qis:
+                continue
+            rows = buckets == b
+            sims = m[rows] @ st["q"][qis].T
+            kk = min(k, int(rows.sum()))
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            out_q.append(np.repeat(np.asarray(qis, dtype=np.int64), kk))
+            out_i.append(ids[rows][part].ravel(order="F"))
+            out_c.append(np.take_along_axis(sims, part, axis=0).ravel(order="F"))
+        if not out_q:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "cos": np.concatenate(out_c)})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    pdf = cand.to_pandas()
+    if len(pdf) == 0:
+        return pdf
+    pdf = pdf.sort_values(["qid", "cos", id_col], ascending=[True, False, True],
+                          kind="stable")
+    return pdf.groupby("qid", sort=True).head(k).reset_index(drop=True)
+
+
+def embedding_neardup(ds, threshold: float = 0.95,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      n_planes: int = 6):
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors,
+    exact pairwise cosine within each bucket, keep cos >= threshold.
+    Sound (exact cosine on every reported pair); recall from bucketing."""
+    planes_holder = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        if "p" not in planes_holder:
+            planes_holder["p"] = _hyperplanes(m.shape[1], n_planes)
+        b = lsh_bucket_ids(m, planes_holder["p"])
+        n = len(batch)
+        flat = m.reshape(-1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": b,
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(flat), m.shape[1]),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        ai, bi = np.triu_indices(len(ids), 1)
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame({"a": ids[ai[keep]], "b": ids[bi[keep]],
+                             "cos": sims[ai[keep], bi[keep]]})
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -392,9 +392,12 @@ def _topk_per_qid(qid: np.ndarray, ids: np.ndarray, d2: np.ndarray, k: int) -> n
 
 
 def _knn_reduce(batch: pa.Table, k: int, id_col: str) -> pa.Table:
+    if len(batch) == 0 or "qid" not in batch.column_names:
+        # repartition can hand over schemaless empty blocks — emit typed
+        return pa.table({"qid": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "dist2": pa.array([], type=pa.float64())})
     qid = batch.column("qid").to_numpy()
-    if len(qid) == 0:
-        return batch
     ids = batch.column(id_col).to_numpy()
     d2 = batch.column("dist2").to_numpy()
     keep = _topk_per_qid(qid, ids, d2, k)
@@ -433,10 +436,11 @@ def knn(ds, queries: pa.Table, k: int, id_col: str = "id",
     cand = cand.repartition(reduce_blocks).map_batches(
         _knn_reduce, fn_args=(k, id_col), batch_format="pyarrow", batch_size=None
     )
-    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
-    qid = tbl.column("qid").to_numpy()
-    if len(qid) == 0:
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
         return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+    tbl = pa.concat_tables(blocks)
+    qid = tbl.column("qid").to_numpy()
     ids = tbl.column(id_col).to_numpy()
     d2 = tbl.column("dist2").to_numpy()
     keep = _topk_per_qid(qid, ids, d2, k)
@@ -634,10 +638,11 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
     cand = both.groupby("cell_id").map_groups(local_knn, batch_format="pyarrow")
     import pandas as pd
 
-    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()), promote_options="default")
-    g_qid = tbl.column("qid").to_numpy()
-    if len(g_qid) == 0:
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
         return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+    tbl = pa.concat_tables(blocks, promote_options="default")
+    g_qid = tbl.column("qid").to_numpy()
     g_ids = tbl.column(id_col).to_numpy()
     g_d2 = tbl.column("dist2").to_numpy()
     keep = _topk_per_qid(g_qid, g_ids, g_d2, k)
