@@ -1,0 +1,272 @@
+"""Index build pipeline: partitioned, checkpointed, resumable.
+
+The distributed equivalent of ``RTree::bulk_load`` (SURVEY.md §2.1):
+
+  histogram pass -> skew-split hot cells -> groupby(cell) shuffle ->
+  one parquet partition per cell + manifest.json
+
+The manifest is the per-partition LINEAGE record (cell -> file, rows,
+envelope, bytes, wall_ms): a rerun skips cells already present
+(idempotent deterministic filenames), the planner prunes reads against
+it, and its invariants (counts sum to the table count, partition
+envelope == union of row envelopes) are the distributed
+``sanity_check`` (rstar/src/node.rs:106-155).
+
+Skew handling (rstar degrades to O(n) when everything overlaps,
+rtree.rs:134-142): cells whose histogram count exceeds
+``target_rows`` are re-keyed to descendants ``ceil(log4(n/target))``
+levels finer — the cluster-granularity version of OMT's split-until-
+small recursion. Duplicate coordinates cannot be split spatially;
+those cells stay hot and are simply bounded by the physical data.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import grid as G
+from . import ops
+
+MANIFEST = "manifest.json"
+
+
+def plan_skew_split(directory: pd.DataFrame, base_level: int, target_rows: int,
+                    max_level: int = G.MAX_LEVEL) -> dict[int, int]:
+    """cell_id -> finer level for cells with count > target_rows."""
+    hot = directory[directory["n"] > target_rows]
+    out: dict[int, int] = {}
+    for cid, n in zip(hot["cell_id"], hot["n"]):
+        delta = max(1, math.ceil(math.log(n / target_rows, 4)))
+        out[int(cid)] = min(base_level + delta, max_level)
+    return out
+
+
+def assign_adaptive_cells(batch: pa.Table, base_level: int,
+                          hot_map: dict[int, int], bounds: G.Bounds) -> pa.Table:
+    """Owner-cell assignment with per-cell adaptive resolution."""
+    x = batch.column("minx").to_numpy()
+    y = batch.column("miny").to_numpy()
+    cid = G.owner_cell(x, y, base_level, bounds)
+    if hot_map:
+        hot_ids = np.fromiter(hot_map.keys(), dtype=np.int64)
+        mask = np.isin(cid, hot_ids)
+        if mask.any():
+            sub = cid[mask]
+            fine = np.empty(len(sub), dtype=np.int64)
+            for lvl in sorted({v for v in hot_map.values()}):
+                m2 = np.fromiter(
+                    (hot_map[int(c)] == lvl for c in sub), dtype=bool, count=len(sub)
+                )
+                if m2.any():
+                    fine[m2] = G.owner_cell(x[mask][m2], y[mask][m2], lvl, bounds)
+            cid[mask] = fine
+    return batch.append_column("cell_id", pa.array(cid))
+
+
+def build_partitioned_index(
+    ds,
+    path: str,
+    base_level: int,
+    bounds: G.Bounds,
+    target_rows: int = 200_000,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the partitioned spatial index at ``path``.
+
+    Returns the manifest dict. Stage 1 streams a histogram (partial
+    count per cell inside map_batches, tiny groupby); stage 2 shuffles
+    rows once on the (skew-split) cell key and writes one parquet file
+    per cell with a deterministic name, skipping cells already in the
+    manifest — that is the checkpoint/resume contract.
+    """
+    t_start = time.perf_counter()
+    os.makedirs(path, exist_ok=True)
+    man_path = os.path.join(path, MANIFEST)
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            done = json.load(f)["partitions"]
+
+    # -- stage 1: histogram + skew plan ------------------------------------
+    directory = ops.cell_directory(ds, base_level, bounds).to_pandas()
+    hot_map = plan_skew_split(directory, base_level, target_rows)
+
+    # -- stage 2: shuffle on adaptive cell key, write per-cell files -------
+    keyed = ds.map_batches(
+        lambda b: assign_adaptive_cells(b, base_level, hot_map, bounds),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    done_ids = {int(k) for k in done}
+
+    def write_cell(group: pa.Table) -> pd.DataFrame:
+        cid = int(group.column("cell_id")[0].as_py())
+        t0 = time.perf_counter()
+        if cid in done_ids:
+            return pd.DataFrame(
+                {"cell_id": [cid], "rows": [done[str(cid)]["rows"]],
+                 "bytes": [done[str(cid)]["bytes"]], "wall_ms": [0.0],
+                 "skipped": [True],
+                 "minx": [done[str(cid)]["minx"]], "miny": [done[str(cid)]["miny"]],
+                 "maxx": [done[str(cid)]["maxx"]], "maxy": [done[str(cid)]["maxy"]]}
+            )
+        fname = os.path.join(path, f"part-{cid}.parquet")
+        tmp = fname + ".tmp"
+        pq.write_table(group, tmp)
+        os.replace(tmp, fname)  # atomic publish
+        lo = group.column("minx").to_numpy()
+        hi = group.column("maxx").to_numpy()
+        loy = group.column("miny").to_numpy()
+        hiy = group.column("maxy").to_numpy()
+        return pd.DataFrame(
+            {"cell_id": [cid], "rows": [len(group)],
+             "bytes": [os.path.getsize(fname)],
+             "wall_ms": [round((time.perf_counter() - t0) * 1e3, 2)],
+             "skipped": [False],
+             "minx": [lo.min()], "miny": [loy.min()],
+             "maxx": [hi.max()], "maxy": [hiy.max()]}
+        )
+
+    stats = keyed.groupby("cell_id").map_groups(write_cell, batch_format="pyarrow").to_pandas()
+
+    partitions = {
+        str(int(r.cell_id)): {
+            "file": f"part-{int(r.cell_id)}.parquet",
+            "rows": int(r.rows), "bytes": int(r.bytes),
+            "wall_ms": float(r.wall_ms),
+            "minx": float(r.minx), "miny": float(r.miny),
+            "maxx": float(r.maxx), "maxy": float(r.maxy),
+        }
+        for r in stats.itertuples()
+    }
+    manifest = {
+        "base_level": base_level,
+        "bounds": bounds.to_list(),
+        "target_rows": target_rows,
+        "hot_map": {str(k): v for k, v in hot_map.items()},
+        "total_rows": int(stats["rows"].sum()),
+        "built_cells": int((~stats["skipped"]).sum()),
+        "resumed_cells": int(stats["skipped"].sum()),
+        "wall_sec": round(time.perf_counter() - t_start, 3),
+        "partitions": partitions,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def load_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+def sanity_check_index(path: str, expected_rows: int | None = None) -> None:
+    """Distributed sanity_check (node.rs:106-155 analogue): partition
+    row counts sum to the table count; each partition file's rows all
+    fall inside the manifest envelope; manifest envelope == exact union
+    of row envelopes."""
+    man = load_manifest(path)
+    total = 0
+    for cid, p in man["partitions"].items():
+        t = pq.read_table(os.path.join(path, p["file"]))
+        assert len(t) == p["rows"], f"cell {cid}: manifest rows mismatch"
+        total += len(t)
+        lo_x = t.column("minx").to_numpy()
+        lo_y = t.column("miny").to_numpy()
+        hi_x = t.column("maxx").to_numpy()
+        hi_y = t.column("maxy").to_numpy()
+        assert lo_x.min() == p["minx"] and lo_y.min() == p["miny"]
+        assert hi_x.max() == p["maxx"] and hi_y.max() == p["maxy"]
+        cells = t.column("cell_id").to_numpy()
+        assert (cells == int(cid)).all(), f"cell {cid}: foreign rows"
+    assert total == man["total_rows"]
+    if expected_rows is not None:
+        assert total == expected_rows
+
+
+def query_index_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
+                         intersecting: bool = True):
+    """locate_in_envelope against a BUILT index: the planner prunes
+    partitions via the manifest (the 'root level' of the distributed
+    tree) and reads ONLY the covering cell files — prune-at-the-read.
+    """
+    man = load_manifest(path)
+    files = []
+    for p in man["partitions"].values():
+        if p["rows"] == 0:
+            continue
+        if p["minx"] <= qmaxx and p["maxx"] >= qminx and \
+           p["miny"] <= qmaxy and p["maxy"] >= qminy:
+            files.append(os.path.join(path, p["file"]))
+    import ray.data as rd
+
+    if not files:
+        return None
+    ds = rd.read_parquet(files)
+    if intersecting:
+        return ops.locate_in_envelope_intersecting(ds, qminx, qminy, qmaxx, qmaxy)
+    return ops.locate_in_envelope(ds, qminx, qminy, qmaxx, qmaxy)
+
+
+def ingest_delta(path: str, delta_ds) -> dict:
+    """Incremental insert (rstar R* insert, SURVEY.md §2.1): route delta
+    rows to their cells, REBUILD only the touched partitions (merge old
+    + new rows, rewrite file), update the manifest. The tested contract
+    is bulk-vs-incremental equivalence: query answers equal a from-
+    scratch bulk build over the union (bulk_load_sequential.rs:111-151
+    re-expressed)."""
+    man = load_manifest(path)
+    base_level = man["base_level"]
+    bounds = G.Bounds(*man["bounds"])
+    hot_map = {int(k): v for k, v in man["hot_map"].items()}
+
+    keyed = delta_ds.map_batches(
+        lambda b: assign_adaptive_cells(b, base_level, hot_map, bounds),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def merge_cell(group: pa.Table) -> pd.DataFrame:
+        cid = int(group.column("cell_id")[0].as_py())
+        fname = os.path.join(path, f"part-{cid}.parquet")
+        if os.path.exists(fname):
+            old = pq.read_table(fname)
+            group = pa.concat_tables([old, group.select(old.column_names)])
+        t0 = time.perf_counter()
+        tmp = fname + ".tmp"
+        pq.write_table(group, tmp)
+        os.replace(tmp, fname)
+        return pd.DataFrame(
+            {"cell_id": [cid], "rows": [len(group)],
+             "bytes": [os.path.getsize(fname)],
+             "wall_ms": [round((time.perf_counter() - t0) * 1e3, 2)],
+             "minx": [group.column("minx").to_numpy().min()],
+             "miny": [group.column("miny").to_numpy().min()],
+             "maxx": [group.column("maxx").to_numpy().max()],
+             "maxy": [group.column("maxy").to_numpy().max()]}
+        )
+
+    stats = keyed.groupby("cell_id").map_groups(merge_cell, batch_format="pyarrow").to_pandas()
+    for r in stats.itertuples():
+        man["partitions"][str(int(r.cell_id))] = {
+            "file": f"part-{int(r.cell_id)}.parquet",
+            "rows": int(r.rows), "bytes": int(r.bytes), "wall_ms": float(r.wall_ms),
+            "minx": float(r.minx), "miny": float(r.miny),
+            "maxx": float(r.maxx), "maxy": float(r.maxy),
+        }
+    man["total_rows"] = sum(p["rows"] for p in man["partitions"].values())
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return man
