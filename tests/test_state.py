@@ -1,0 +1,67 @@
+"""Actor-pool index serving vs raw-scan oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geograft import fixtures as FX
+from geograft import ops, pipeline, state
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, sf_small, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "points")
+    pipeline.build_partitioned_index(
+        FX.points_ds(sf_small), path, base_level=4, bounds=FX.POINTS_BOUNDS
+    )
+    return path
+
+
+def test_query_index_batch_vs_raw(ray_session, sf_small, built_index):
+    rng = np.random.default_rng(5)
+    nq = 30
+    bx = rng.uniform(0, 300, nq)
+    by = rng.uniform(0, 12, nq)
+    boxes = pa.table({"box_id": np.arange(nq), "minx": bx, "miny": by,
+                      "maxx": bx + 30.0, "maxy": by + 3.0})
+    got = state.query_index_batch(built_index, boxes).to_pandas()
+    want = ops.locate_in_envelope_multi(FX.points_ds(sf_small), boxes).to_pandas()
+    gs = set(zip(got["qid"], got["id"]))
+    ws = set(zip(want["box_id"], want["id"]))
+    assert gs == ws
+    assert len(gs) > 0
+
+
+def test_knn_index_batch_vs_brute(ray_session, sf_small, built_index):
+    rng = np.random.default_rng(6)
+    nq = 40
+    q = pa.table({"qid": np.arange(nq), "x": rng.uniform(0, 400, nq),
+                  "y": rng.uniform(0, 15, nq)})
+    got = state.knn_index_batch(built_index, q, k=5)
+    want = ops.knn(FX.points_ds(sf_small), q, k=5)
+    assert got[["qid", "id"]].reset_index(drop=True).equals(
+        want[["qid", "id"]].reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(got["dist2"].to_numpy(), want["dist2"].to_numpy())
+
+
+def test_partition_cache_loads_once(built_index):
+    # drive the actor class directly: same cell queried twice -> one load
+    pq_actor = state.PartitionQuerier(built_index)
+    man = pipeline.load_manifest(built_index)
+    cid = int(next(iter(man["partitions"])))
+    p = man["partitions"][str(cid)]
+    batch = pa.table({
+        "cell_id": np.array([cid, cid], dtype=np.int64),
+        "qid": np.array([0, 1], dtype=np.int64),
+        "minx": [p["minx"], p["minx"]], "miny": [p["miny"], p["miny"]],
+        "maxx": [p["maxx"], p["maxx"]], "maxy": [p["maxy"], p["maxy"]],
+        "contained": np.array([0, 0], dtype=np.int8),
+    })
+    out1 = pq_actor(batch)
+    assert pq_actor.loads == 1
+    out2 = pq_actor(batch)
+    assert pq_actor.loads == 1, "tree cached across batches"
+    assert out1.num_rows == out2.num_rows == 2 * p["rows"]
