@@ -28,6 +28,28 @@ if TYPE_CHECKING:
 
 ENV_COLS = ["minx", "miny", "maxx", "maxy"]
 
+# Coarse shuffle width: cell keys are folded into this many partitions so
+# the exchange produces O(N_SHUFFLE) tasks each processing MANY cells
+# vectorized — never one Python call per cell. Sized ~2x a node's cores;
+# on a cluster it scales with cluster size, not key cardinality.
+N_SHUFFLE = 64
+
+
+def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
+                         n_buckets: int = N_SHUFFLE):
+    """ONE all-to-all exchange on ``hash(key) % n_buckets``; ``fn`` is
+    called once per bucket with every row of every key in that bucket
+    co-located (same guarantee a per-key groupby gives, at partition
+    granularity). fn must sub-group by ``key_col`` internally."""
+
+    def add(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy().astype(np.uint64)
+        cb = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(n_buckets)
+        return b.append_column("__cg", pa.array(cb.astype(np.int64)))
+
+    keyed = ds.map_batches(add, batch_format="pyarrow", batch_size=None)
+    return keyed.groupby("__cg").map_groups(fn, batch_format="pyarrow")
+
 
 # --------------------------------------------------------------------------
 # span explode + geometry extraction (the per-record parser stage, §2.8)
@@ -562,13 +584,20 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
         routed = qds.map_batches(plan_batch, batch_format="pyarrow", batch_size=_KNN_Q_CHUNK)
         hot_cells = None
     else:
-        route_q, route_c, route_x, route_y = [], [], [], []
-        for s in range(0, len(qid), _KNN_Q_CHUNK):
-            pq_, pc_, px_, py_ = plan_chunk(
-                qid[s : s + _KNN_Q_CHUNK], qx[s : s + _KNN_Q_CHUNK], qy[s : s + _KNN_Q_CHUNK]
-            )
-            route_q.append(pq_); route_c.append(pc_)
-            route_x.append(px_); route_y.append(py_)
+        # thread-parallel driver planning: the chunk kernels are pure
+        # numpy (GIL released), so a thread pool uses all local cores
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [
+            (qid[s : s + _KNN_Q_CHUNK], qx[s : s + _KNN_Q_CHUNK], qy[s : s + _KNN_Q_CHUNK])
+            for s in range(0, len(qid), _KNN_Q_CHUNK)
+        ]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(lambda c: plan_chunk(*c), chunks))
+        route_q = [r[0] for r in results]
+        route_c = [r[1] for r in results]
+        route_x = [r[2] for r in results]
+        route_y = [r[3] for r in results]
         r_qid = np.concatenate(route_q)
         r_cell = np.concatenate(route_c)
         routed = pa.table(
@@ -607,35 +636,47 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
     routed_ds = routed if not isinstance(routed, pa.Table) else rd.from_arrow(routed)
     both = pts.union(routed_ds)
 
-    def local_knn(group: pa.Table) -> pa.Table:
+    def local_knn_bucket(group: pa.Table) -> pa.Table:
+        """Answer every cell co-located in this coarse bucket."""
+        empty = pa.table({
+            "qid": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "dist2": pa.array([], type=pa.float64()),
+        })
+        if len(group) == 0 or "cell_id" not in group.column_names:
+            return empty
+        cell = group.column("cell_id").to_numpy()
         side = group.column("side").to_numpy()
-        isq = side == 1
-        if not isq.any() or isq.all():
-            return pa.table({
-                "qid": pa.array([], type=pa.int64()),
-                id_col: pa.array([], type=pa.int64()),
-                "dist2": pa.array([], type=pa.float64()),
-            })
-        px = group.column("x").to_numpy()[~isq]
-        py = group.column("y").to_numpy()[~isq]
-        ids = group.column(id_col).to_numpy()[~isq]
-        gqx = group.column("x").to_numpy()[isq]
-        gqy = group.column("y").to_numpy()[isq]
-        gqid = group.column("qid").to_numpy()[isq]
-        dx = px[:, None] - gqx[None, :]
-        dy = py[:, None] - gqy[None, :]
-        d2 = dx * dx + dy * dy
-        kk = min(k, len(px))
-        part = np.argpartition(d2, kk - 1, axis=0)[:kk]
-        return pa.table(
-            {
-                "qid": np.repeat(gqid, kk),
-                id_col: ids[part].ravel(order="F"),
-                "dist2": np.take_along_axis(d2, part, axis=0).ravel(order="F"),
-            }
-        )
+        xs = group.column("x").to_numpy()
+        ys = group.column("y").to_numpy()
+        ids_all = group.column(id_col).to_numpy()
+        qid_all = group.column("qid").to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        bnd = np.concatenate([[0], np.nonzero(cell_s[1:] != cell_s[:-1])[0] + 1, [len(cell_s)]])
+        out_q, out_i, out_d = [], [], []
+        for gi in range(len(bnd) - 1):
+            rows = order[bnd[gi] : bnd[gi + 1]]
+            isq = side[rows] == 1
+            if not isq.any() or isq.all():
+                continue
+            p = rows[~isq]
+            qr = rows[isq]
+            dx = xs[p][:, None] - xs[qr][None, :]
+            dy = ys[p][:, None] - ys[qr][None, :]
+            d2 = dx * dx + dy * dy
+            kk = min(k, len(p))
+            part = np.argpartition(d2, kk - 1, axis=0)[:kk]
+            out_q.append(np.repeat(qid_all[qr], kk))
+            out_i.append(ids_all[p][part].ravel(order="F"))
+            out_d.append(np.take_along_axis(d2, part, axis=0).ravel(order="F"))
+        if not out_q:
+            return empty
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "dist2": np.concatenate(out_d)})
 
-    cand = both.groupby("cell_id").map_groups(local_knn, batch_format="pyarrow")
+    cand = coarse_group_by_cell(both, local_knn_bucket)
     import pandas as pd
 
     blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
@@ -686,28 +727,44 @@ def spatial_join(
     rrep = right.map_batches(prep(1), batch_format="pyarrow", batch_size=None)
     both = lrep.union(rrep)
 
-    def join_cell(group: pa.Table) -> pa.Table:
+    def join_bucket(group: pa.Table) -> pa.Table:
+        """Dual-tree join for every cell co-located in this bucket."""
+        empty = pa.table({left_id: pa.array([], type=pa.int64()),
+                          right_id: pa.array([], type=pa.int64())})
+        if len(group) == 0 or "cell_id" not in group.column_names:
+            return empty
         side = group.column("side").to_numpy()
         cell = group.column("cell_id").to_numpy()
         lo, up = _env_arrays(group)
         ids = group.column(id_col).to_numpy()
-        lmask = side == 0
-        li, ri = np.nonzero(lmask)[0], np.nonzero(~lmask)[0]
-        if len(li) == 0 or len(ri) == 0:
-            return pa.table({left_id: pa.array([], type=pa.int64()),
-                             right_id: pa.array([], type=pa.int64())})
-        tl = PTree(lo[li], up[li])
-        tr = PTree(lo[ri], up[ri])
-        a, b = tl.join(tr)
-        ga, gb = li[a], ri[b]
-        # owner-cell rule: intersection min corner must fall in this cell
-        ixmin = np.maximum(lo[ga, 0], lo[gb, 0])
-        iymin = np.maximum(lo[ga, 1], lo[gb, 1])
-        owner = G.owner_cell(ixmin, iymin, int(_cell_level(cell[0])), bounds)
-        keep = owner == cell[0]
-        return pa.table({left_id: ids[ga[keep]], right_id: ids[gb[keep]]})
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        bnd = np.concatenate([[0], np.nonzero(cell_s[1:] != cell_s[:-1])[0] + 1, [len(cell_s)]])
+        out_l, out_r = [], []
+        for gi in range(len(bnd) - 1):
+            rows = order[bnd[gi] : bnd[gi + 1]]
+            lmask = side[rows] == 0
+            li, ri = rows[lmask], rows[~lmask]
+            if len(li) == 0 or len(ri) == 0:
+                continue
+            tl = PTree(lo[li], up[li])
+            tr = PTree(lo[ri], up[ri])
+            a, b = tl.join(tr)
+            ga, gb = li[a], ri[b]
+            # owner-cell rule: intersection min corner must fall in this cell
+            this_cell = cell[rows[0]]
+            ixmin = np.maximum(lo[ga, 0], lo[gb, 0])
+            iymin = np.maximum(lo[ga, 1], lo[gb, 1])
+            owner = G.owner_cell(ixmin, iymin, int(_cell_level(this_cell)), bounds)
+            keep = owner == this_cell
+            out_l.append(ids[ga[keep]])
+            out_r.append(ids[gb[keep]])
+        if not out_l:
+            return empty
+        return pa.table({left_id: np.concatenate(out_l),
+                         right_id: np.concatenate(out_r)})
 
-    return both.groupby("cell_id").map_groups(join_cell, batch_format="pyarrow")
+    return coarse_group_by_cell(both, join_bucket)
 
 
 def _cell_level(cell_id: int) -> int:
