@@ -214,6 +214,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_parquet_sized(f"{sf}/embeddings.parquet"), threshold=0.9
         )
 
+    # ---- stream-shaped ops (events log) -----------------------------------
+    from geograft import eventops as EV
+
+    def events_window(sf):
+        import numpy as np
+        import pyarrow as pa
+
+        out = EV.tumbling_window_agg(
+            read_parquet_sized(f"{sf}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+        )
+
+        def rnd(b: pa.Table) -> pa.Table:
+            # float sums accumulate in a different order than the SQL
+            # oracle; round to 6 dp on BOTH sides for a stable compare
+            return b.set_column(
+                b.schema.get_field_index("sum_value"), "sum_value",
+                pa.array(np.round(b.column("sum_value").to_numpy(), 6)),
+            )
+
+        return out.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+
+    def events_sessions(sf):
+        return EV.session_windows(
+            read_parquet_sized(f"{sf}/events.parquet",
+                               columns=["ts", "user_id"])
+        )
+
     return {
         "iter_all": iter_all,
         "locate_in_envelope": locate_in_envelope,
@@ -241,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
         "embedding_neardup": embedding_neardup,
+        "events_window": events_window,
+        "events_sessions": events_sessions,
     }
 
 
@@ -345,6 +375,22 @@ def oracle_sql() -> dict[str, str]:
         # ann_cosine_topk_lsh / embedding_neardup: probabilistic or
         # model-style ops -> no SQL oracle (driver records rows-only);
         # their exactness/soundness oracles live in tests/.
+        "events_window": (
+            "SELECT user_id, CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS win, "
+            "count(*) AS n, round(sum(value), 6) AS sum_value, "
+            "min(value) AS min_value, max(value) AS max_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            "WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 "
+            "OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))), "
+            "s AS (SELECT user_id, ts_us, SUM(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM t) "
+            "SELECT user_id, min(ts_us) AS session_start, max(ts_us) AS session_end, "
+            "count(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
         "ann_cosine_topk": (
             "SELECT vec_id FROM embeddings ORDER BY "
             "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "

@@ -177,7 +177,16 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    # alternate the two levels and keep the per-level MINIMUM: background
+    # load on this shared box only ever adds time, and alternating cancels
+    # slow phases hitting one level disproportionately
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    runs_lo, runs_hi = [], []
+    for _ in range(pairs):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     speedup = r_lo["value"] / r_hi["value"]
     # Achievable speedup is capped by the host's core count: on a box
     # with >= hi cores this reduces to the standard (t_lo/t_hi)/(hi/lo);
@@ -193,6 +202,8 @@ def run_scaling() -> dict:
         "queries_8": r_lo["queries"],
         "queries_32": r_hi["queries"],
         "speedup": round(speedup, 3),
+        "all_runs_8": [r["value"] for r in runs_lo],
+        "all_runs_32": [r["value"] for r in runs_hi],
         "physical_cores": phys,
         "achievable_speedup": achievable,
         "scaling_efficiency": round(eff, 3),

@@ -1,0 +1,71 @@
+"""Windowed / session ops over events vs DuckDB oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from geograft import eventops as E
+from geograft.io import read_parquet_sized
+
+
+@pytest.fixture(scope="module")
+def con(sf_small):
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_small}/events.parquet')")
+    return c
+
+
+def ev_ds(sf):
+    return read_parquet_sized(f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+
+
+def test_tumbling_window_vs_sql(ray_session, con, sf_small):
+    got = (
+        E.tumbling_window_agg(ev_ds(sf_small))
+        .to_pandas()
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+    )
+    want = con.sql(
+        "SELECT user_id, CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS win, "
+        "count(*) AS n, sum(value) AS sum_value, min(value) AS min_value, max(value) AS max_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "win", "n", "min_value", "max_value"]],
+        want[["user_id", "win", "n", "min_value", "max_value"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"], rtol=1e-12)
+
+
+def test_session_windows_vs_sql(ray_session, con, sf_small):
+    gap = 30 * 60 * 1_000_000
+    got = (
+        E.session_windows(ev_ds(sf_small), gap_us=gap)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = con.sql(f"""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap}
+                      OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), s AS (
+          SELECT user_id, ts_us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM t
+        )
+        SELECT user_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_events"].sum() == 1000
