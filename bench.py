@@ -167,9 +167,49 @@ def run_bench() -> dict:
     }
 
 
+def ensure_scaled_input(src_dir: str, mult: int) -> str:
+    """Deterministically derive a `mult`-times-larger events table (other
+    tables symlinked) so the scaling measurement runs at a data size
+    where compute dominates per-stage fixed costs — the regime the
+    two-cluster-size criterion is about. Same input for both levels."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/geograft_scaling_{os.path.basename(src_dir)}_x{mult}"
+    marker = os.path.join(out_dir, ".done")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(os.path.join(src_dir, "events.parquet"))
+    cols = {c: src.column(c) for c in src.column_names}
+    eid = cols["event_id"].to_numpy()
+    val = cols["value"].to_numpy()
+    parts = []
+    for r in range(mult):
+        t = {c: cols[c] for c in src.column_names}
+        t["event_id"] = pa.array(eid + r * 10_000_000)
+        t["value"] = pa.array(np.round(val + r * 0.001, 6))
+        parts.append(pa.table(t))
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "events.parquet"),
+                   row_group_size=200_000)
+    for t in ("lineitem", "supplier", "part", "orders", "customer",
+              "documents", "embeddings", "region", "nation"):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
 def run_scaling() -> dict:
+    mult = int(os.environ.get("GRAFT_SCALING_MULT", "10"))
+    scale_dir = ensure_scaled_input(SF_DIR, mult) if mult > 1 else SF_DIR
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_dir,
+                   GRAFT_BENCH_REPS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -208,6 +248,8 @@ def run_scaling() -> dict:
         "achievable_speedup": achievable,
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
+        "scaling_input": scale_dir,
+        "scaling_mult": mult,
     }
 
 

@@ -50,21 +50,31 @@ class PartitionQuerier:
             self.loads += 1
         return hit
 
+    # query modes (routed `mode` column)
+    INTERSECTS = 0
+    CONTAINED = 1
+    AT_POINT = 2       # point in (minx, miny)
+    WITHIN_DIST = 3    # point in (minx, miny), r2 in maxx
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """batch: routed queries (cell_id, qid, minx, miny, maxx, maxy,
-        contained:int8) -> (qid, id) hits from this partition."""
+        mode:int8) -> (qid, id) hits from this partition."""
         cells = batch.column("cell_id").to_numpy()
         qid = batch.column("qid").to_numpy()
         qlo = np.c_[batch.column("minx").to_numpy(), batch.column("miny").to_numpy()]
         qhi = np.c_[batch.column("maxx").to_numpy(), batch.column("maxy").to_numpy()]
-        contained = batch.column("contained").to_numpy()
+        mode = batch.column("mode").to_numpy()
         out_q, out_i = [], []
         for cid in np.unique(cells):
             ids, tree = self._tree(int(cid))
             rows = np.nonzero(cells == cid)[0]
             for r in rows:
-                if contained[r]:
+                if mode[r] == self.CONTAINED:
                     idx = tree.locate_in_envelope(qlo[r], qhi[r])
+                elif mode[r] == self.AT_POINT:
+                    idx = tree.locate_all_at_point(qlo[r])
+                elif mode[r] == self.WITHIN_DIST:
+                    idx = tree.locate_within_distance(qlo[r], qhi[r, 0])
                 else:
                     idx = tree.locate_in_envelope_intersecting(qlo[r], qhi[r])
                 if len(idx):
@@ -105,13 +115,15 @@ def query_index_batch(index_path: str, boxes: pa.Table, intersecting: bool = Tru
         qhi[:, None, :] >= plo[None, :, :]
     ).all(axis=2)
     qi, pi = np.nonzero(hit)
+    mode = (PartitionQuerier.INTERSECTS if intersecting
+            else PartitionQuerier.CONTAINED)
     routed = pa.table(
         {
             "cell_id": cids[pi],
             "qid": qid[qi],
             "minx": qlo[qi, 0], "miny": qlo[qi, 1],
             "maxx": qhi[qi, 0], "maxy": qhi[qi, 1],
-            "contained": np.full(len(qi), 0 if intersecting else 1, dtype=np.int8),
+            "mode": np.full(len(qi), mode, dtype=np.int8),
         }
     )
     ds = rd.from_arrow(routed).sort("cell_id")
@@ -122,6 +134,81 @@ def query_index_batch(index_path: str, boxes: pa.Table, intersecting: bool = Tru
         batch_size=None,
         concurrency=concurrency,
     )
+
+
+def _serve_routed(index_path: str, routed: pa.Table, concurrency: int):
+    import ray.data as rd
+
+    ds = rd.from_arrow(routed).sort("cell_id")
+    return ds.map_batches(
+        PartitionQuerier,
+        fn_constructor_args=(index_path,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+
+
+def query_index_at_point(index_path: str, points: pa.Table, concurrency: int = 2):
+    """locate_all_at_point for a batch of points (pid, x, y) against the
+    index: route each point to partitions whose envelope contains it."""
+    man = load_manifest(index_path)
+    cids, plo, pup = [], [], []
+    for cid, p in man["partitions"].items():
+        if p["rows"] > 0:
+            cids.append(int(cid))
+            plo.append([p["minx"], p["miny"]])
+            pup.append([p["maxx"], p["maxy"]])
+    cids = np.asarray(cids, dtype=np.int64)
+    plo = np.asarray(plo); pup = np.asarray(pup)
+    qid = points.column("pid").to_numpy()
+    px = points.column("x").to_numpy()
+    py = points.column("y").to_numpy()
+    hit = (
+        (plo[None, :, 0] <= px[:, None]) & (pup[None, :, 0] >= px[:, None])
+        & (plo[None, :, 1] <= py[:, None]) & (pup[None, :, 1] >= py[:, None])
+    )
+    qi, pi = np.nonzero(hit)
+    routed = pa.table(
+        {
+            "cell_id": cids[pi], "qid": qid[qi],
+            "minx": px[qi], "miny": py[qi],
+            "maxx": px[qi], "maxy": py[qi],
+            "mode": np.full(len(qi), PartitionQuerier.AT_POINT, dtype=np.int8),
+        }
+    )
+    return _serve_routed(index_path, routed, concurrency)
+
+
+def query_index_within_distance(index_path: str, discs: pa.Table,
+                                concurrency: int = 2):
+    """locate_within_distance for a batch of discs (qid, x, y, r2):
+    route to partitions whose envelope is within sqrt(r2) of the point."""
+    man = load_manifest(index_path)
+    cids, plo, pup = [], [], []
+    for cid, p in man["partitions"].items():
+        if p["rows"] > 0:
+            cids.append(int(cid))
+            plo.append([p["minx"], p["miny"]])
+            pup.append([p["maxx"], p["maxy"]])
+    cids = np.asarray(cids, dtype=np.int64)
+    plo = np.asarray(plo); pup = np.asarray(pup)
+    qid = discs.column("qid").to_numpy()
+    px = discs.column("x").to_numpy()
+    py = discs.column("y").to_numpy()
+    r2 = discs.column("r2").to_numpy()
+    dx = np.clip(px[:, None], plo[None, :, 0], pup[None, :, 0]) - px[:, None]
+    dy = np.clip(py[:, None], plo[None, :, 1], pup[None, :, 1]) - py[:, None]
+    qi, pi = np.nonzero(dx * dx + dy * dy <= r2[:, None])
+    routed = pa.table(
+        {
+            "cell_id": cids[pi], "qid": qid[qi],
+            "minx": px[qi], "miny": py[qi],
+            "maxx": r2[qi], "maxy": np.zeros(len(qi)),
+            "mode": np.full(len(qi), PartitionQuerier.WITHIN_DIST, dtype=np.int8),
+        }
+    )
+    return _serve_routed(index_path, routed, concurrency)
 
 
 def knn_index_batch(index_path: str, queries: pa.Table, k: int,

@@ -47,6 +47,32 @@ def test_knn_index_batch_vs_brute(ray_session, sf_small, built_index):
     np.testing.assert_array_equal(got["dist2"].to_numpy(), want["dist2"].to_numpy())
 
 
+def test_at_point_and_within_distance_on_index(ray_session, sf_small, built_index):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_small}/events.parquet')")
+    # (185.22, 13) is event 0 of the sf0.001 fixture
+    pts = pa.table({"pid": [0, 1], "x": [185.22, 999.0], "y": [13.0, 999.0]})
+    got = state.query_index_at_point(built_index, pts).to_pandas()
+    want = con.sql(
+        "SELECT event_id FROM events WHERE value = 185.22 AND user_id = 13 ORDER BY event_id"
+    ).df()["event_id"].to_numpy()
+    assert len(want) >= 1
+    np.testing.assert_array_equal(
+        np.sort(got[got["qid"] == 0]["id"].to_numpy()), want
+    )
+    assert (got["qid"] == 1).sum() == 0
+
+    discs = pa.table({"qid": [0], "x": [50.0], "y": [8.0], "r2": [400.0]})
+    got = state.query_index_within_distance(built_index, discs).to_pandas()
+    want = con.sql(
+        "SELECT event_id FROM events WHERE (value-50)*(value-50) + (user_id-8)*(user_id-8) <= 400 ORDER BY event_id"
+    ).df()["event_id"].to_numpy()
+    np.testing.assert_array_equal(np.sort(got["id"].to_numpy()), want)
+    assert len(want) > 0
+
+
 def test_partition_cache_loads_once(built_index):
     # drive the actor class directly: same cell queried twice -> one load
     pq_actor = state.PartitionQuerier(built_index)
@@ -58,7 +84,7 @@ def test_partition_cache_loads_once(built_index):
         "qid": np.array([0, 1], dtype=np.int64),
         "minx": [p["minx"], p["minx"]], "miny": [p["miny"], p["miny"]],
         "maxx": [p["maxx"], p["maxx"]], "maxy": [p["maxy"], p["maxy"]],
-        "contained": np.array([0, 0], dtype=np.int8),
+        "mode": np.array([0, 0], dtype=np.int8),
     })
     out1 = pq_actor(batch)
     assert pq_actor.loads == 1
