@@ -27,6 +27,7 @@ AT_POINT_Q = (2000.0, 30.0)                # locate_all_at_point on rects
 CONTAINS_Q = (6.55, 8.0)                   # membership by equality (event 0)
 TILE_N = 16                                 # tile grid for the histogram
 SEL_X = 100.0                               # custom selection function: x < SEL_X
+LINE_WD_Q = (100.0, 10.0, 25.0)             # line within-distance (x, y, r2)
 
 
 def entry() -> Any:
@@ -214,6 +215,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_parquet_sized(f"{sf}/embeddings.parquet"), threshold=0.9
         )
 
+    def line_within_distance(sf):
+        # LINE-geometry spans: synthesize, parse, exact segment-distance
+        # filter (line.rs:97-113 kernel through the full Dataset path)
+        from geograft import synth as S
+
+        docs = read_parquet_sized(f"{sf}/events.parquet").map_batches(
+            S.docs_from_events_lines, batch_format="pyarrow", batch_size=None
+        )
+        geoms = ops.extract_geometries(docs)
+        out = ops.locate_within_distance(geoms, *LINE_WD_Q)
+        return out.select_columns(["doc_id"])
+
     # ---- stream-shaped ops (events log) -----------------------------------
     from geograft import eventops as EV
 
@@ -269,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
         "embedding_neardup": embedding_neardup,
+        "line_within_distance": line_within_distance,
         "events_window": events_window,
         "events_sessions": events_sessions,
     }
@@ -375,6 +389,19 @@ def oracle_sql() -> dict[str, str]:
         # ann_cosine_topk_lsh / embedding_neardup: probabilistic or
         # model-style ops -> no SQL oracle (driver records rows-only);
         # their exactness/soundness oracles live in tests/.
+        "line_within_distance": (
+        f"""WITH l AS (SELECT event_id, value AS x1, CAST(user_id AS DOUBLE) AS y1,
+             value + CAST(json_extract_string(props, '$.k') AS DOUBLE)/10.0 AS x2,
+             CAST(user_id AS DOUBLE) + 1.0 AS y2 FROM events),
+        d AS (SELECT event_id, x1, y1, (x2-x1) AS dx, (y2-y1) AS dy FROM l),
+        tt AS (SELECT event_id, x1, y1, dx, dy,
+             CASE WHEN dx*dx + dy*dy = 0 THEN 0.0
+                  ELSE LEAST(GREATEST((({LINE_WD_Q[0]} - x1)*dx + ({LINE_WD_Q[1]} - y1)*dy) / (dx*dx + dy*dy), 0.0), 1.0)
+             END AS t FROM d),
+        n AS (SELECT event_id, x1 + dx*t AS nx2, y1 + dy*t AS ny2 FROM tt)
+        SELECT 'd' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS doc_id FROM n
+        WHERE (nx2 - {LINE_WD_Q[0]})*(nx2 - {LINE_WD_Q[0]}) + (ny2 - {LINE_WD_Q[1]})*(ny2 - {LINE_WD_Q[1]}) <= {LINE_WD_Q[2]}"""
+        ),
         "events_window": (
             "SELECT user_id, CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS win, "
             "count(*) AS n, round(sum(value), 6) AS sum_value, "

@@ -124,6 +124,37 @@ def docs_from_events(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(doc_ids), "spans": spans}, schema=DOC_SCHEMA)
 
 
+def docs_from_events_lines(batch: pa.Table) -> pa.Table:
+    """Interleaved docs whose geo span is a LINE segment derived from
+    event columns: from (value, user_id) to (value + k/10, user_id + 1)
+    where k comes from the props JSON — so the oracle SQL can recompute
+    the endpoints exactly with json_extract."""
+    import json as _json
+
+    eid = batch["event_id"].to_numpy()
+    val = batch["value"].to_numpy()
+    uid = batch["user_id"].to_numpy()
+    props = batch["props"].to_pylist()
+    ks = np.asarray([_json.loads(p)["k"] for p in props], dtype=np.float64)
+
+    doc_ids = [f"d{e:010d}" for e in eid]
+    x2 = val + ks / 10.0
+    y2 = uid.astype(np.float64) + 1.0
+    geo = [
+        f"LINE({float(a)!r} {float(b)!r} {float(c)!r} {float(d)!r})"
+        for a, b, c, d in zip(val, uid.astype(np.float64), x2, y2)
+    ]
+    n = len(doc_ids)
+    kinds = pa.array(np.tile(["geo"], n))
+    flat = pa.StructArray.from_arrays(
+        [kinds, pa.array(geo), pa.array([""] * n),
+         pa.array(np.zeros(n, dtype=np.int32))],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), flat)
+    return pa.table({"doc_id": pa.array(doc_ids), "spans": spans}, schema=DOC_SCHEMA)
+
+
 def span_fingerprints(docs: pa.Table) -> dict[str, int]:
     """hash of the exact (kind, text, media_ref, order) sequence per doc —
     the check every pipeline stage must leave unchanged."""
