@@ -27,7 +27,7 @@ def _pipelines():
 
     from geograft import fixtures as FX
     from geograft.io import read_parquet_sized
-    from geograft import ops, synth
+    from geograft import ops, pipeline, synth
 
     def q_extract_tiles():
         # flagship: events -> interleaved docs -> span explode -> geo parse
@@ -60,11 +60,20 @@ def _pipelines():
     state = {}
 
     def q_build_index():
-        # level-1 index build: owner-cell directory over the point table
-        state["dir"] = ops.cell_directory(
-            FX.points_ds(SF_DIR), 5, FX.POINTS_BOUNDS
-        ).to_pandas()
-        return len(state["dir"])
+        # full partitioned index build (shuffle + per-cell parquet +
+        # manifest with lineage) — the build-once half of
+        # build-once/query-many; the manifest doubles as the planner
+        # directory for the query stage below
+        import shutil
+
+        idx = f"/tmp/geograft_bench_idx_{NUM_CPUS}"
+        shutil.rmtree(idx, ignore_errors=True)
+        man = pipeline.build_partitioned_index(
+            FX.points_ds(SF_DIR), idx, base_level=5, bounds=FX.POINTS_BOUNDS,
+            target_rows=500_000,
+        )
+        state["dir"] = pipeline.directory_from_manifest(man)
+        return man["built_cells"]
 
     def q_knn():
         import numpy as np

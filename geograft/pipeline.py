@@ -165,6 +165,19 @@ def build_partitioned_index(
     return manifest
 
 
+def directory_from_manifest(man: dict) -> pd.DataFrame:
+    """Cell directory (cell_id, n, envelope) straight from a build
+    manifest — lets the planner reuse the build's lineage records
+    instead of re-scanning the data. Valid when no hot cells were split
+    (the ids are then base-level owner cells)."""
+    rows = [
+        {"cell_id": int(cid), "n": p["rows"], "minx": p["minx"], "miny": p["miny"],
+         "maxx": p["maxx"], "maxy": p["maxy"]}
+        for cid, p in man["partitions"].items()
+    ]
+    return pd.DataFrame(rows)
+
+
 def load_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as f:
         return json.load(f)

@@ -260,6 +260,10 @@ def knn_index_batch(index_path: str, queries: pa.Table, k: int,
     )
 
     class KnnQuerier(PartitionQuerier):
+        """Per cell: ONE vectorized (points x queries) distance matrix +
+        per-query partial top-k — queries hitting the same partition are
+        answered together, never one tree walk per query."""
+
         def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
             cells = batch.column("cell_id").to_numpy()
             bqid = batch.column("qid").to_numpy()
@@ -269,11 +273,17 @@ def knn_index_batch(index_path: str, queries: pa.Table, k: int,
             for cid in np.unique(cells):
                 ids, tree = self._tree(int(cid))
                 rows = np.nonzero(cells == cid)[0]
-                for r in rows:
-                    ridx, rd2 = tree.knn(np.array([bx[r], by[r]]), k)
-                    out_q.append(np.full(len(ridx), bqid[r], dtype=np.int64))
-                    out_i.append(ids[ridx])
-                    out_d.append(rd2)
+                # clamped envelope distance (exact for points AND boxes)
+                qx = bx[rows][None, :]
+                qy = by[rows][None, :]
+                dx = np.clip(qx, tree.lower[:, 0:1], tree.upper[:, 0:1]) - qx
+                dy = np.clip(qy, tree.lower[:, 1:2], tree.upper[:, 1:2]) - qy
+                d2 = dx * dx + dy * dy
+                kk = min(k, len(ids))
+                part = np.argpartition(d2, kk - 1, axis=0)[:kk]
+                out_q.append(np.repeat(bqid[rows], kk))
+                out_i.append(ids[part].ravel(order="F"))
+                out_d.append(np.take_along_axis(d2, part, axis=0).ravel(order="F"))
             if not out_q:
                 return pa.table({"qid": pa.array([], type=pa.int64()),
                                  "id": pa.array([], type=pa.int64()),
