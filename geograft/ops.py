@@ -662,14 +662,21 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
                 continue
             p = rows[~isq]
             qr = rows[isq]
-            dx = xs[p][:, None] - xs[qr][None, :]
-            dy = ys[p][:, None] - ys[qr][None, :]
-            d2 = dx * dx + dy * dy
+            px, py = xs[p], ys[p]
+            pids = ids_all[p]
             kk = min(k, len(p))
-            part = np.argpartition(d2, kk - 1, axis=0)[:kk]
-            out_q.append(np.repeat(qid_all[qr], kk))
-            out_i.append(ids_all[p][part].ravel(order="F"))
-            out_d.append(np.take_along_axis(d2, part, axis=0).ravel(order="F"))
+            # row-major (queries x points) chunks: each d2 block stays
+            # ~L2-sized and argpartition runs along the contiguous axis —
+            # keeps 32 concurrent workers from thrashing the shared cache
+            for s in range(0, len(qr), 64):
+                qs_ = qr[s : s + 64]
+                dx = xs[qs_][:, None] - px[None, :]
+                dy = ys[qs_][:, None] - py[None, :]
+                d2 = dx * dx + dy * dy
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                out_q.append(np.repeat(qid_all[qs_], kk))
+                out_i.append(pids[part].ravel())
+                out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
         if not out_q:
             return empty
         return pa.table({"qid": np.concatenate(out_q),
