@@ -255,6 +255,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["ts", "user_id"])
         )
 
+    def events_asof_orders(sf):
+        # as-of join: latest order (by o_orderdate) per event's user at
+        # event time; returns the matched date (unique, tie-proof)
+        out = EV.asof_join(
+            read_parquet_sized(f"{sf}/events.parquet",
+                               columns=["event_id", "ts", "user_id"]),
+            read_parquet_sized(f"{sf}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"]),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_cols=["o_orderdate"],
+        )
+        return out.select_columns(["event_id", "o_orderdate"])
+
     return {
         "iter_all": iter_all,
         "locate_in_envelope": locate_in_envelope,
@@ -285,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_within_distance": line_within_distance,
         "events_window": events_window,
         "events_sessions": events_sessions,
+        "events_asof_orders": events_asof_orders,
     }
 
 
@@ -417,6 +432,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM t) "
             "SELECT user_id, min(ts_us) AS session_start, max(ts_us) AS session_end, "
             "count(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "events_asof_orders": (
+            "SELECT e.event_id, m.o_orderdate FROM events e LEFT JOIN ("
+            "SELECT e2.event_id AS eid, max(o.o_orderdate) AS o_orderdate "
+            "FROM events e2 JOIN orders o ON o.o_custkey = e2.user_id "
+            "AND o.o_orderdate <= e2.ts GROUP BY 1) m ON m.eid = e.event_id"
         ),
         "ann_cosine_topk": (
             "SELECT vec_id FROM embeddings ORDER BY "

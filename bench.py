@@ -194,14 +194,15 @@ def ensure_scaled_input(src_dir: str, mult: int) -> str:
     cols = {c: src.column(c) for c in src.column_names}
     eid = cols["event_id"].to_numpy()
     val = cols["value"].to_numpy()
-    parts = []
+    # one file per replica -> parallel read tasks (Ray parallelizes
+    # parquet reads per file); at real scale inputs are many files anyway
+    ev_dir = os.path.join(out_dir, "events.parquet")
+    os.makedirs(ev_dir, exist_ok=True)
     for r in range(mult):
         t = {c: cols[c] for c in src.column_names}
         t["event_id"] = pa.array(eid + r * 10_000_000)
         t["value"] = pa.array(np.round(val + r * 0.001, 6))
-        parts.append(pa.table(t))
-    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "events.parquet"),
-                   row_group_size=200_000)
+        pq.write_table(pa.table(t), os.path.join(ev_dir, f"part-{r:03d}.parquet"))
     for t in ("lineitem", "supplier", "part", "orders", "customer",
               "documents", "embeddings", "region", "nation"):
         dst = os.path.join(out_dir, f"{t}.parquet")

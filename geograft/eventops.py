@@ -71,6 +71,85 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
     return part.groupby("__bucket").map_groups(combine, batch_format="pandas")
 
 
+def asof_join(left_ds, right_ds, left_key: str, right_key: str,
+              left_ts: str, right_ts: str, right_cols: list[str]):
+    """As-of join: for each left row, the latest right row with the same
+    key and right_ts <= left_ts.
+
+    Shape: both sides coarse-bucketed on the key hash (equal keys
+    co-locate), union, then a vectorized ``pd.merge_asof`` per
+    partition. The exchange ships only the needed right columns.
+    Output: all left columns + requested right columns (null when no
+    match) — matching ANSI/DuckDB ``ASOF JOIN`` semantics.
+    """
+    from . import textops as T
+
+    def tag(side: int, key: str, ts: str, keep: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(key).to_numpy()
+            out = {
+                "__key": pa.array(k.astype(np.int64)),
+                "__ts": b.column(ts).cast(pa.int64()),
+                "__side": pa.array(np.full(len(b), side, dtype=np.int8)),
+                "__bucket": pa.array(
+                    ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                     % np.uint64(T.N_COARSE)).astype(np.int64)
+                ),
+            }
+            for c in keep:
+                out[c] = b.column(c)
+            return pa.table(out)
+
+        return f
+
+    left_cols = [c for c in left_ds.schema().names]
+    lt = left_ds.map_batches(
+        tag(0, left_key, left_ts, left_cols), batch_format="pyarrow", batch_size=None
+    )
+    rt = right_ds.map_batches(
+        tag(1, right_key, right_ts, right_cols), batch_format="pyarrow", batch_size=None
+    )
+
+    # align schemas for the union: fill the other side's columns with nulls
+    def pad(missing: list[str], like):
+        def f(b: pa.Table) -> pa.Table:
+            for c, typ in missing:
+                b = b.append_column(c, pa.nulls(len(b), type=typ))
+            return b
+
+        return f
+
+    l_schema = lt.schema()
+    r_schema = rt.schema()
+    l_missing = [(n, r_schema.types[r_schema.names.index(n)])
+                 for n in r_schema.names if n not in l_schema.names]
+    r_missing = [(n, l_schema.types[l_schema.names.index(n)])
+                 for n in l_schema.names if n not in r_schema.names]
+    lt = lt.map_batches(pad(l_missing, None), batch_format="pyarrow", batch_size=None)
+    rt = rt.map_batches(pad(r_missing, None), batch_format="pyarrow", batch_size=None)
+    all_names = sorted(set(l_schema.names) | set(r_schema.names))
+    lt = lt.select_columns(all_names)
+    rt = rt.select_columns(all_names)
+    both = lt.union(rt)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].sort_values("__ts", kind="stable")
+        rg = g[g["__side"] == 1].sort_values("__ts", kind="stable")
+        lg = lg[[*left_cols, "__key", "__ts"]]
+        rg = rg[[*right_cols, "__key", "__ts"]]
+        if len(lg) == 0:
+            return lg.drop(columns=["__key", "__ts"]).assign(
+                **{c: pd.Series([], dtype=rg[c].dtype) for c in right_cols}
+            )
+        merged = pd.merge_asof(
+            lg, rg, on="__ts", by="__key", direction="backward",
+            suffixes=("", "__r"),
+        )
+        return merged.drop(columns=["__key", "__ts"])
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,
                     key_col: str = "user_id", ts_col: str = "ts"):
     """Session windows per key: events closer than `gap_us` chain into

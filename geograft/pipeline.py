@@ -107,35 +107,51 @@ def build_partitioned_index(
     )
     done_ids = {int(k) for k in done}
 
-    def write_cell(group: pa.Table) -> pd.DataFrame:
-        cid = int(group.column("cell_id")[0].as_py())
-        t0 = time.perf_counter()
-        if cid in done_ids:
+    def write_bucket(group: pa.Table) -> pd.DataFrame:
+        """Write every cell co-located in this coarse bucket to its own
+        deterministic file (idempotent; finished cells skipped)."""
+        out: list[dict] = []
+        if len(group) == 0 or "cell_id" not in group.column_names:
             return pd.DataFrame(
-                {"cell_id": [cid], "rows": [done[str(cid)]["rows"]],
-                 "bytes": [done[str(cid)]["bytes"]], "wall_ms": [0.0],
-                 "skipped": [True],
-                 "minx": [done[str(cid)]["minx"]], "miny": [done[str(cid)]["miny"]],
-                 "maxx": [done[str(cid)]["maxx"]], "maxy": [done[str(cid)]["maxy"]]}
+                {c: pd.Series([], dtype=d) for c, d in
+                 [("cell_id", np.int64), ("rows", np.int64), ("bytes", np.int64),
+                  ("wall_ms", float), ("skipped", bool), ("minx", float),
+                  ("miny", float), ("maxx", float), ("maxy", float)]}
             )
-        fname = os.path.join(path, f"part-{cid}.parquet")
-        tmp = fname + ".tmp"
-        pq.write_table(group, tmp)
-        os.replace(tmp, fname)  # atomic publish
-        lo = group.column("minx").to_numpy()
-        hi = group.column("maxx").to_numpy()
-        loy = group.column("miny").to_numpy()
-        hiy = group.column("maxy").to_numpy()
-        return pd.DataFrame(
-            {"cell_id": [cid], "rows": [len(group)],
-             "bytes": [os.path.getsize(fname)],
-             "wall_ms": [round((time.perf_counter() - t0) * 1e3, 2)],
-             "skipped": [False],
-             "minx": [lo.min()], "miny": [loy.min()],
-             "maxx": [hi.max()], "maxy": [hiy.max()]}
-        )
+        cells = group.column("cell_id").to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+        for gi in range(len(bnd) - 1):
+            rows_idx = order[bnd[gi] : bnd[gi + 1]]
+            cid = int(cs[bnd[gi]])
+            t0 = time.perf_counter()
+            if cid in done_ids:
+                p = done[str(cid)]
+                out.append({"cell_id": cid, "rows": p["rows"], "bytes": p["bytes"],
+                            "wall_ms": 0.0, "skipped": True, "minx": p["minx"],
+                            "miny": p["miny"], "maxx": p["maxx"], "maxy": p["maxy"]})
+                continue
+            part = group.take(pa.array(rows_idx))
+            if "__cg" in part.column_names:
+                part = part.drop_columns(["__cg"])
+            fname = os.path.join(path, f"part-{cid}.parquet")
+            tmp = fname + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, fname)  # atomic publish
+            out.append({
+                "cell_id": cid, "rows": len(part),
+                "bytes": os.path.getsize(fname),
+                "wall_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                "skipped": False,
+                "minx": part.column("minx").to_numpy().min(),
+                "miny": part.column("miny").to_numpy().min(),
+                "maxx": part.column("maxx").to_numpy().max(),
+                "maxy": part.column("maxy").to_numpy().max(),
+            })
+        return pd.DataFrame(out)
 
-    stats = keyed.groupby("cell_id").map_groups(write_cell, batch_format="pyarrow").to_pandas()
+    stats = ops.coarse_group_by_cell(keyed, write_bucket).to_pandas()
 
     partitions = {
         str(int(r.cell_id)): {
