@@ -203,7 +203,16 @@ def ensure_scaled_input(src_dir: str, mult: int) -> str:
         t["event_id"] = pa.array(eid + r * 10_000_000)
         t["value"] = pa.array(np.round(val + r * 0.001, 6))
         pq.write_table(pa.table(t), os.path.join(ev_dir, f"part-{r:03d}.parquet"))
-    for t in ("lineitem", "supplier", "part", "orders", "customer",
+    # lineitem: same rows, split into files so reads parallelize
+    li = pq.read_table(os.path.join(src_dir, "lineitem.parquet"))
+    li_dir = os.path.join(out_dir, "lineitem.parquet")
+    os.makedirs(li_dir, exist_ok=True)
+    n_li_files = 8
+    step = -(-li.num_rows // n_li_files)
+    for i in range(n_li_files):
+        pq.write_table(li.slice(i * step, step),
+                       os.path.join(li_dir, f"part-{i:03d}.parquet"))
+    for t in ("supplier", "part", "orders", "customer",
               "documents", "embeddings", "region", "nation"):
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
