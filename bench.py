@@ -76,10 +76,30 @@ def _pipelines():
         return man["built_cells"]
 
     def q_knn():
+        # build-once/query-many fast path: shuffle-free kNN over the
+        # index built by q_build_index (pruned partition reads only)
         import numpy as np
+
+        from geograft import state as ST
 
         rng = np.random.default_rng(42)
         qn = 20000
+        q = pa.table(
+            {
+                "qid": np.arange(qn),
+                "x": rng.uniform(0, 560, qn),
+                "y": rng.uniform(0, 1500, qn),
+            }
+        )
+        idx = f"/tmp/geograft_bench_idx_{NUM_CPUS}"
+        return len(ST.knn_on_index(idx, q, k=10))
+
+    def q_knn_adhoc():
+        # no prebuilt index: two-level kNN with one co-shuffle
+        import numpy as np
+
+        rng = np.random.default_rng(43)
+        qn = 5000
         q = pa.table(
             {
                 "qid": np.arange(qn),
@@ -117,6 +137,7 @@ def _pipelines():
         "self_join": q_self_join,
         "build_index": q_build_index,
         "knn": q_knn,
+        "knn_adhoc": q_knn_adhoc,
         "envelope_scan": q_envelope_scan,
     }
 

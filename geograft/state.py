@@ -211,6 +211,126 @@ def query_index_within_distance(index_path: str, discs: pa.Table,
     return _serve_routed(index_path, routed, concurrency)
 
 
+def knn_on_index(index_path: str, queries: pa.Table, k: int):
+    """Shuffle-free exact kNN over a BUILT index: plan on the manifest
+    (same proven bounds as ops.indexed_knn), read ONLY candidate cell
+    files (partitions are cell-pure, so no exchange is needed), answer
+    each cell's routed queries with chunked row-major matrices inside
+    stateless map_batches tasks, merge top-k on the driver.
+
+    This is the build-once/query-many fast path: per query batch the
+    only data movement is the pruned partition read."""
+    import ray
+    import ray.data as rd
+
+    from .ops import _topk_per_qid
+
+    man = load_manifest(index_path)
+    cids, counts, plo, pup, files = [], [], [], [], {}
+    for cid, p in man["partitions"].items():
+        if p["rows"] > 0:
+            cids.append(int(cid)); counts.append(p["rows"])
+            plo.append([p["minx"], p["miny"]])
+            pup.append([p["maxx"], p["maxy"]])
+            files[int(cid)] = os.path.join(index_path, p["file"])
+    cids = np.asarray(cids, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    plo = np.asarray(plo); pup = np.asarray(pup)
+    total = int(counts.sum())
+
+    qid = queries.column("qid").to_numpy()
+    qx = queries.column("x").to_numpy()
+    qy = queries.column("y").to_numpy()
+    dx = np.clip(qx[:, None], plo[None, :, 0], pup[None, :, 0]) - qx[:, None]
+    dy = np.clip(qy[:, None], plo[None, :, 1], pup[None, :, 1]) - qy[:, None]
+    mind2 = dx * dx + dy * dy
+    fx = np.maximum(np.abs(qx[:, None] - plo[None, :, 0]), np.abs(qx[:, None] - pup[None, :, 0]))
+    fy = np.maximum(np.abs(qy[:, None] - plo[None, :, 1]), np.abs(qy[:, None] - pup[None, :, 1]))
+    maxd2 = fx * fx + fy * fy
+    order = np.argsort(mind2, axis=1, kind="stable")
+    csum = np.cumsum(counts[order], axis=1)
+    if total <= k:
+        ub = np.full(len(qid), np.inf)
+    else:
+        first_ge = np.argmax(csum >= min(k, total), axis=1)
+        prefix_max = np.maximum.accumulate(np.take_along_axis(maxd2, order, axis=1), axis=1)
+        ub = prefix_max[np.arange(len(qid)), first_ge]
+    qi, pi = np.nonzero(mind2 <= ub[:, None])
+    # broadcast: cell -> its routed queries
+    routed: dict[int, list] = {}
+    for q_row, p_row in zip(qi, pi):
+        routed.setdefault(int(cids[p_row]), []).append(q_row)
+    routed_np = {
+        c: (qid[rows], qx[rows], qy[rows]) for c, rows in
+        ((c, np.asarray(r, dtype=np.int64)) for c, r in routed.items())
+    }
+    rref = ray.put(routed_np)
+    touched = sorted(routed_np)
+    if not touched:
+        import pandas as pd
+
+        return pd.DataFrame({"qid": [], "id": [], "dist2": []})
+
+    def cell_knn(batch: pa.Table, rref=rref) -> pa.Table:
+        rt = ray.get(rref)
+        cells = batch.column("cell_id").to_numpy()
+        lo0 = batch.column("minx").to_numpy()
+        lo1 = batch.column("miny").to_numpy()
+        up0 = batch.column("maxx").to_numpy()
+        up1 = batch.column("maxy").to_numpy()
+        ids = batch.column("id").to_numpy()
+        out_q, out_i, out_d = [], [], []
+        ordr = np.argsort(cells, kind="stable")
+        cs = cells[ordr]
+        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+        for gi in range(len(bnd) - 1):
+            rows = ordr[bnd[gi] : bnd[gi + 1]]
+            q = rt.get(int(cs[bnd[gi]]))
+            if q is None:
+                continue
+            gqid, gqx, gqy = q
+            kk = min(k, len(rows))
+            for s in range(0, len(gqid), 64):
+                sqx = gqx[s : s + 64][:, None]
+                sqy = gqy[s : s + 64][:, None]
+                ddx = np.clip(sqx, lo0[rows][None, :], up0[rows][None, :]) - sqx
+                ddy = np.clip(sqy, lo1[rows][None, :], up1[rows][None, :]) - sqy
+                d2 = ddx * ddx + ddy * ddy
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                out_q.append(np.repeat(gqid[s : s + 64], kk))
+                out_i.append(ids[rows][part].ravel())
+                out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
+        if not out_q:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "id": pa.array([], type=pa.int64()),
+                             "dist2": pa.array([], type=pa.float64())})
+        return pa.table({"qid": np.concatenate(out_q),
+                         "id": np.concatenate(out_i),
+                         "dist2": np.concatenate(out_d)})
+
+    ds = rd.read_parquet(
+        [files[c] for c in touched],
+        columns=["id", "cell_id", "minx", "miny", "maxx", "maxy"],
+        # bundle small per-cell files into fewer read tasks; cell_knn
+        # handles multi-cell batches
+        override_num_blocks=min(64, len(touched)),
+    )
+    cand = ds.map_batches(cell_knn, batch_format="pyarrow", batch_size=None)
+    import pandas as pd
+
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
+        return pd.DataFrame({"qid": [], "id": [], "dist2": []})
+    tbl = pa.concat_tables(blocks)
+    g_qid = tbl.column("qid").to_numpy()
+    g_ids = tbl.column("id").to_numpy()
+    g_d2 = tbl.column("dist2").to_numpy()
+    keep = _topk_per_qid(g_qid, g_ids, g_d2, k)
+    order2 = np.lexsort((g_ids[keep], g_d2[keep], g_qid[keep]))
+    keep = keep[order2]
+    return pd.DataFrame({"qid": g_qid[keep], "id": g_ids[keep], "dist2": g_d2[keep]})
+
+
 def knn_index_batch(index_path: str, queries: pa.Table, k: int,
                     concurrency: int = 2):
     """Exact kNN against a built index: manifest-directory planning

@@ -34,6 +34,19 @@ def test_query_index_batch_vs_raw(ray_session, sf_small, built_index):
     assert len(gs) > 0
 
 
+def test_knn_on_index_vs_brute(ray_session, sf_small, built_index):
+    rng = np.random.default_rng(9)
+    nq = 50
+    q = pa.table({"qid": np.arange(nq), "x": rng.uniform(0, 400, nq),
+                  "y": rng.uniform(0, 15, nq)})
+    got = state.knn_on_index(built_index, q, k=6)
+    want = ops.knn(FX.points_ds(sf_small), q, k=6)
+    assert got[["qid", "id"]].reset_index(drop=True).equals(
+        want[["qid", "id"]].reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(got["dist2"].to_numpy(), want["dist2"].to_numpy())
+
+
 def test_knn_index_batch_vs_brute(ray_session, sf_small, built_index):
     rng = np.random.default_rng(6)
     nq = 40
