@@ -123,6 +123,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FX.join_left_ds(sf), FX.join_right_ds(sf), level=4, bounds=FX.JOIN_BOUNDS
         )
 
+    def drain_within_distance(sf):
+        # surviving side (rtree.rs:1066-1073)
+        _, surviving = ops.drain_within_distance(_points(sf), *WD_Q)
+        return surviving.select_columns(["id"])
+
+    def drain_limit(sf):
+        # partial drain: first 50 matching rows by id (removal.rs:113-160)
+        drained, _ = ops.drain_limit(
+            _points(sf), lambda b: b.column("minx").to_numpy() < SEL_X, n=50
+        )
+        return drained.select_columns(["id"])
+
+    def remove_at_point(sf):
+        # rtree.rs:864-867: surviving set after removing one element
+        _, surviving = ops.remove_at_point(_points(sf), *CONTAINS_Q)
+        return surviving.select_columns(["id"])
+
+    def nn_stream(sf):
+        # nearest_neighbor_iter full stream (rtree.rs:1094-1122)
+        return ops.nn_stream(_points(sf), *NN_Q).select_columns(["id", "dist2"])
+
     def drain_in_envelope(sf):
         # surviving side of the drain split (removal.rs:67-243)
         _, surviving = ops.drain_in_envelope(_points(sf), *ENV_Q)
@@ -285,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pop_nearest_neighbor": pop_nearest_neighbor,
         "spatial_join": spatial_join,
         "drain_in_envelope": drain_in_envelope,
+        "drain_within_distance": drain_within_distance,
+        "drain_limit": drain_limit,
+        "remove_at_point": remove_at_point,
+        "nn_stream": nn_stream,
         "selection_function": selection_function,
         "tile_histogram": tile_histogram,
         "extract_geo_spans": extract_geo_spans,
@@ -367,6 +392,20 @@ def oracle_sql() -> dict[str, str]:
         "drain_in_envelope": (
             f"SELECT id FROM ({P}) WHERE NOT (x BETWEEN {ex0} AND {ex1} "
             f"AND y BETWEEN {ey0} AND {ey1})"
+        ),
+        "drain_within_distance": (
+            f"SELECT id FROM ({P}) "
+            f"WHERE NOT ((x-{wx})*(x-{wx}) + (y-{wy})*(y-{wy}) <= {wr2})"
+        ),
+        "drain_limit": (
+            f"SELECT id FROM ({P}) WHERE x < {SEL_X} ORDER BY id LIMIT 50"
+        ),
+        "remove_at_point": (
+            f"SELECT id FROM ({P}) WHERE id NOT IN "
+            f"(SELECT COALESCE(min(id), -1) FROM ({P}) WHERE x = {cx} AND y = {cy})"
+        ),
+        "nn_stream": (
+            f"SELECT id, (x-{nx})*(x-{nx}) + (y-{ny})*(y-{ny}) AS dist2 FROM ({P})"
         ),
         "selection_function": f"SELECT id FROM ({P}) WHERE x < {SEL_X}",
         "tile_histogram": (

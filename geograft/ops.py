@@ -312,6 +312,99 @@ def drain_in_envelope(ds, qminx, qminy, qmaxx, qmaxy, intersecting: bool = False
     return drained, surviving
 
 
+def drain_within_distance(ds, x, y, r2):
+    """drain_within_distance (rtree.rs:1066-1073): split into
+    (drained = distance_2 <= r2, surviving = rest), one pass each."""
+    q = np.array([x, y])
+
+    def mk(neg: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = _exact_distance_2(batch, q) <= r2
+            return batch.filter(pa.array(~m if neg else m))
+
+        return f
+
+    return (
+        ds.map_batches(mk(False), batch_format="pyarrow", batch_size=None),
+        ds.map_batches(mk(True), batch_format="pyarrow", batch_size=None),
+    )
+
+
+def drain_limit(ds, keep_rows, n: int, id_col: str = "id"):
+    """Partial drain — the reference's 'drop the iterator after n items'
+    semantics (removal.rs:113-160: only yielded removals happen).
+
+    Deterministic pick: the n MATCHING rows with smallest ids are
+    drained; everything else survives. Two passes: a tiny global top-n
+    of matching ids (per-block partial + driver merge), then a
+    broadcast anti-filter.
+    """
+    import ray
+
+    def partial_ids(batch: pa.Table) -> pa.Table:
+        m = keep_rows(batch)
+        ids = batch.column(id_col).to_numpy()[m]
+        if len(ids) > n:
+            ids = np.partition(ids, n - 1)[:n]
+        return pa.table({id_col: np.sort(ids)})
+
+    cand = ds.map_batches(partial_ids, batch_format="pyarrow", batch_size=None)
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if blocks:
+        all_ids = np.concatenate([t.column(id_col).to_numpy() for t in blocks])
+        victims = np.sort(all_ids)[:n]
+    else:
+        victims = np.empty(0, dtype=np.int64)
+    vref = ray.put(victims)
+
+    def mk(drained_side: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            v = ray.get(vref)
+            m = np.isin(batch.column(id_col).to_numpy(), v)
+            return batch.filter(pa.array(m if drained_side else ~m))
+
+        return f
+
+    return (
+        ds.map_batches(mk(True), batch_format="pyarrow", batch_size=None),
+        ds.map_batches(mk(False), batch_format="pyarrow", batch_size=None),
+    )
+
+
+def remove_at_point(ds, x, y, id_col: str = "id"):
+    """remove_at_point (rtree.rs:864-867): remove ONE element containing
+    the point — deterministic pick: smallest id among matches (the
+    reference picks an arbitrary one; set-level parity needs a rule).
+    Returns (removed_df, surviving_ds)."""
+    matches = locate_all_at_point(ds, x, y).to_pandas()
+    if len(matches) == 0:
+        return matches, ds
+    victim = int(matches[id_col].min())
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch.column(id_col).to_numpy() != victim))
+
+    return (
+        matches[matches[id_col] == victim],
+        ds.map_batches(f, batch_format="pyarrow", batch_size=None),
+    )
+
+
+def nn_stream(ds, x, y, id_col: str = "id"):
+    """nearest_neighbor_iter full stream (rtree.rs:1094-1122): EVERY
+    element annotated with distance_2 and globally sorted by
+    (dist2, id). A distributed sort — use only when the full ranking is
+    wanted; k-bounded consumers should use knn()."""
+    q = np.array([x, y])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column("dist2", pa.array(_exact_distance_2(batch, q)))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None).sort(
+        ["dist2", id_col]
+    )
+
+
 def locate_in_envelope_multi(ds, boxes: "pa.Table", intersecting: bool = True):
     """Batched envelope queries: one pass over the data answers ALL query
     boxes (box_id, minx, miny, maxx, maxy), emitting (box_id, id) hits.

@@ -166,6 +166,59 @@ def test_drain_split(ray_session, con, sf_small):
     assert nd == want
 
 
+def test_drain_within_distance(ray_session, con, sf_small):
+    qx, qy, r2 = 50.0, 8.0, 400.0
+    drained, surviving = ops.drain_within_distance(FX.points_ds(sf_small), qx, qy, r2)
+    nd = drained.count()
+    want = con.sql(
+        f"SELECT count(*) FROM ({FX.POINTS_SQL}) "
+        f"WHERE (x-{qx})*(x-{qx}) + (y-{qy})*(y-{qy}) <= {r2}"
+    ).fetchall()[0][0]
+    assert nd == want > 0
+    assert nd + surviving.count() == 1000
+
+
+def test_drain_limit_partial(ray_session, con, sf_small):
+    # partial drain: first 50 (by id) of the rows with x < 100
+    pred = lambda b: b.column("minx").to_numpy() < 100.0  # noqa: E731
+    drained, surviving = ops.drain_limit(FX.points_ds(sf_small), pred, n=50)
+    dd = drained.to_pandas().sort_values("id")
+    want = con.sql(
+        f"SELECT id FROM ({FX.POINTS_SQL}) WHERE x < 100 ORDER BY id LIMIT 50"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(dd["id"].to_numpy(), want)
+    assert drained.count() + surviving.count() == 1000
+
+
+def test_remove_at_point(ray_session, con, sf_small):
+    # points fixture: event ids are unique, so "remove one element"
+    # (min id among matches) is well-defined
+    px, py = con.sql(f"SELECT x, y FROM ({FX.POINTS_SQL}) WHERE id = 7").fetchall()[0]
+    removed, surviving = ops.remove_at_point(FX.points_ds(sf_small), px, py)
+    want_victim = con.sql(
+        f"SELECT min(id) FROM ({FX.POINTS_SQL}) WHERE x = {px!r} AND y = {py!r}"
+    ).fetchall()[0][0]
+    assert removed["id"].iloc[0] == want_victim
+    n_at = con.sql(
+        f"SELECT count(*) FROM ({FX.POINTS_SQL}) WHERE x = {px!r} AND y = {py!r}"
+    ).fetchall()[0][0]
+    assert surviving.count() == 1000 - 1
+    assert n_at >= 1
+    # removing from an empty match set is the identity
+    removed2, surviving2 = ops.remove_at_point(FX.points_ds(sf_small), 1e6, 1e6)
+    assert len(removed2) == 0 and surviving2.count() == 1000
+
+
+def test_nn_stream_full_sort(ray_session, con, sf_small):
+    out = ops.nn_stream(FX.points_ds(sf_small), 100.0, 50.0).to_pandas()
+    want = con.sql(
+        f"SELECT id FROM ({FX.POINTS_SQL}) "
+        f"ORDER BY (x-100.0)*(x-100.0) + (y-50.0)*(y-50.0), id"
+    ).df()["id"].to_numpy()
+    np.testing.assert_array_equal(out["id"].to_numpy(), want)
+    assert (np.diff(out["dist2"].to_numpy()) >= 0).all()
+
+
 def test_selection_function_udf(ray_session, con, sf_small):
     # mirrors the custom-SF example (iterators.rs:328-360): all x < 100
     got = ids(
