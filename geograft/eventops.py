@@ -20,6 +20,16 @@ import pyarrow as pa
 US_PER_HOUR = 3_600_000_000
 
 
+def _ts_us(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":
+    """Normalize any temporal column to int64 epoch MICROSECONDS so
+    mixed-resolution sides compare correctly (timestamp[s|ms|us|ns],
+    date32/64 all normalize; a bare int64 is taken as already-us)."""
+    t = col.type
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    return col.cast(pa.int64())
+
+
 def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
                         key_col: str = "user_id", ts_col: str = "ts",
                         val_col: str = "value"):
@@ -29,10 +39,11 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
     per batch) then a coarse-bucket combine — the exchange carries
     partials, not events.
     """
+    from .ops import coarse_bucket_ids
     from . import textops as T
 
     def partial(b: pa.Table) -> pa.Table:
-        ts = b.column(ts_col).cast(pa.int64()).to_numpy()  # epoch micros
+        ts = _ts_us(b.column(ts_col)).to_numpy()  # epoch micros
         win = ts // window_us
         key = b.column(key_col).to_numpy()
         val = b.column(val_col).to_numpy()
@@ -52,10 +63,7 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
                 "sum_value": s,
                 "min_value": mn,
                 "max_value": mx,
-                "__bucket": (
-                    uniq[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                    % np.uint64(T.N_COARSE)
-                ).astype(np.int64),
+                "__bucket": coarse_bucket_ids(uniq[:, 0], T.N_COARSE),
             }
         )
 
@@ -82,6 +90,7 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     Output: all left columns + requested right columns (null when no
     match) — matching ANSI/DuckDB ``ASOF JOIN`` semantics.
     """
+    from .ops import coarse_bucket_ids
     from . import textops as T
 
     def tag(side: int, key: str, ts: str, keep: list[str]):
@@ -89,12 +98,9 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
             k = b.column(key).to_numpy()
             out = {
                 "__key": pa.array(k.astype(np.int64)),
-                "__ts": b.column(ts).cast(pa.int64()),
+                "__ts": _ts_us(b.column(ts)),
                 "__side": pa.array(np.full(len(b), side, dtype=np.int8)),
-                "__bucket": pa.array(
-                    ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                     % np.uint64(T.N_COARSE)).astype(np.int64)
-                ),
+                "__bucket": pa.array(coarse_bucket_ids(k, T.N_COARSE)),
             }
             for c in keep:
                 out[c] = b.column(c)
@@ -158,19 +164,17 @@ def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,
 
     Output: key, session_start (epoch us), session_end, n_events.
     """
+    from .ops import coarse_bucket_ids
     from . import textops as T
 
     def keyed(b: pa.Table) -> pa.Table:
         key = b.column(key_col).to_numpy()
-        ts = b.column(ts_col).cast(pa.int64()).to_numpy()
+        ts = _ts_us(b.column(ts_col)).to_numpy()
         return pa.table(
             {
                 key_col: key,
                 "ts_us": ts,
-                "__bucket": (
-                    key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                    % np.uint64(T.N_COARSE)
-                ).astype(np.int64),
+                "__bucket": pa.array(coarse_bucket_ids(key, T.N_COARSE)),
             }
         )
 

@@ -35,6 +35,15 @@ ENV_COLS = ["minx", "miny", "maxx", "maxy"]
 N_SHUFFLE = 64
 
 
+def coarse_bucket_ids(keys: np.ndarray, n_buckets: int = N_SHUFFLE) -> np.ndarray:
+    """Fibonacci-hash fold of int keys into n_buckets partitions. The
+    >>33 mix matters: without it, power-of-two bucket counts reduce to
+    `key % n`, and strided key spaces collapse into one bucket."""
+    k = keys.astype(np.uint64)
+    return (((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(n_buckets)).astype(np.int64)
+
+
 def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
                          n_buckets: int = N_SHUFFLE):
     """ONE all-to-all exchange on ``hash(key) % n_buckets``; ``fn`` is
@@ -43,9 +52,8 @@ def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
     granularity). fn must sub-group by ``key_col`` internally."""
 
     def add(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy().astype(np.uint64)
-        cb = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(n_buckets)
-        return b.append_column("__cg", pa.array(cb.astype(np.int64)))
+        cb = coarse_bucket_ids(b.column(key_col).to_numpy(), n_buckets)
+        return b.append_column("__cg", pa.array(cb))
 
     keyed = ds.map_batches(add, batch_format="pyarrow", batch_size=None)
     return keyed.groupby("__cg").map_groups(fn, batch_format="pyarrow")
@@ -454,6 +462,37 @@ def locate_in_envelope_multi(ds, boxes: "pa.Table", intersecting: bool = True):
 _KNN_Q_CHUNK = 256
 
 
+def _topk_rows_per_col(d2: np.ndarray, k: int) -> np.ndarray:
+    """Exact (value, row-position) top-k row indices per COLUMN of a
+    (n, q) matrix. Callers pre-sort rows ascending by id, so stable tie
+    resolution by row position == tie-break by id — the engine's
+    deterministic kNN contract. Fast path: argpartition; only columns
+    with ties crossing the k-th slot pay a stable argsort."""
+    n = d2.shape[0]
+    kk = min(k, n)
+    part = np.argpartition(d2, kk - 1, axis=0)[:kk]
+    kth = np.take_along_axis(d2, part, axis=0).max(axis=0)
+    cnt = (d2 <= kth[None, :]).sum(axis=0)
+    for c in np.nonzero(cnt > kk)[0]:
+        part[:, c] = np.argsort(d2[:, c], kind="stable")[:kk]
+    # within-column order does not matter (the reduce re-sorts), only
+    # membership does
+    return part
+
+
+def _topk_cols_per_row(d2: np.ndarray, k: int) -> np.ndarray:
+    """Row-major twin of _topk_rows_per_col: top-k column indices per ROW
+    of a (q, n) matrix; columns pre-sorted ascending by id."""
+    n = d2.shape[1]
+    kk = min(k, n)
+    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    kth = np.take_along_axis(d2, part, axis=1).max(axis=1)
+    cnt = (d2 <= kth[:, None]).sum(axis=1)
+    for r in np.nonzero(cnt > kk)[0]:
+        part[r, :] = np.argsort(d2[r, :], kind="stable")[:kk]
+    return part
+
+
 def _knn_partial(batch: pa.Table, qref, k: int, id_col: str) -> pa.Table:
     """Per-block combiner: local top-k per query, vectorized across a
     chunk of queries at a time. Emits <= Q*k candidate rows per block."""
@@ -470,6 +509,9 @@ def _knn_partial(batch: pa.Table, qref, k: int, id_col: str) -> pa.Table:
     qid_all, qxy = q["qid"], q["xy"]
     ids = batch.column(id_col).to_numpy()
     lo, up = _env_arrays(batch)
+    # pre-sort rows by id: stable tie resolution == deterministic (d2, id)
+    rid = np.argsort(ids, kind="stable")
+    ids, lo, up = ids[rid], lo[rid], up[rid]
     k = min(k, n)
     out_q, out_i, out_d = [], [], []
     for s in range(0, len(qid_all), _KNN_Q_CHUNK):
@@ -479,7 +521,7 @@ def _knn_partial(batch: pa.Table, qref, k: int, id_col: str) -> pa.Table:
         dx = np.clip(qx[None, :], lo[:, 0:1], up[:, 0:1]) - qx[None, :]
         dy = np.clip(qy[None, :], lo[:, 1:2], up[:, 1:2]) - qy[None, :]
         d2 = dx * dx + dy * dy
-        part = np.argpartition(d2, k - 1, axis=0)[:k]  # (k, chunk)
+        part = _topk_rows_per_col(d2, k)  # (k, chunk)
         out_q.append(np.repeat(qid_all[s : s + _KNN_Q_CHUNK], k))
         out_i.append(ids[part].ravel(order="F"))
         out_d.append(np.take_along_axis(d2, part, axis=0).ravel(order="F"))
@@ -755,8 +797,11 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
                 continue
             p = rows[~isq]
             qr = rows[isq]
-            px, py = xs[p], ys[p]
             pids = ids_all[p]
+            pord = np.argsort(pids, kind="stable")
+            p = p[pord]
+            pids = pids[pord]
+            px, py = xs[p], ys[p]
             kk = min(k, len(p))
             # row-major (queries x points) chunks: each d2 block stays
             # ~L2-sized and argpartition runs along the contiguous axis —
@@ -766,7 +811,7 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
                 dx = xs[qs_][:, None] - px[None, :]
                 dy = ys[qs_][:, None] - py[None, :]
                 d2 = dx * dx + dy * dy
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                part = _topk_cols_per_row(d2, kk)
                 out_q.append(np.repeat(qid_all[qs_], kk))
                 out_i.append(pids[part].ravel())
                 out_d.append(np.take_along_axis(d2, part, axis=1).ravel())

@@ -26,6 +26,21 @@ from .pipeline import load_manifest
 from .ptree import PTree
 
 
+def _manifest_arrays(man: dict, with_counts: bool = False):
+    """(cell_ids, lower, upper[, counts]) of the non-empty partitions —
+    the planner's pruning arrays, built once per query batch."""
+    cids, counts, plo, pup = [], [], [], []
+    for cid, p in man["partitions"].items():
+        if p["rows"] > 0:
+            cids.append(int(cid)); counts.append(p["rows"])
+            plo.append([p["minx"], p["miny"]])
+            pup.append([p["maxx"], p["maxy"]])
+    out = (np.asarray(cids, dtype=np.int64), np.asarray(plo), np.asarray(pup))
+    if with_counts:
+        return (*out, np.asarray(counts, dtype=np.int64))
+    return out
+
+
 class PartitionQuerier:
     """Actor: cell_id -> (ids, PTree) cache, built from index files."""
 
@@ -45,7 +60,10 @@ class PartitionQuerier:
             )
             lo = np.c_[t.column("minx").to_numpy(), t.column("miny").to_numpy()]
             up = np.c_[t.column("maxx").to_numpy(), t.column("maxy").to_numpy()]
-            hit = (t.column("id").to_numpy(), PTree(lo, up))
+            ids = t.column("id").to_numpy()
+            # ascending-id order => stable tie resolution downstream
+            o = np.argsort(ids, kind="stable")
+            hit = (ids[o], PTree(lo[o], up[o]))
             self.cache[cid] = hit
             self.loads += 1
         return hit
@@ -98,15 +116,7 @@ def query_index_batch(index_path: str, boxes: pa.Table, intersecting: bool = Tru
     import ray.data as rd
 
     man = load_manifest(index_path)
-    cids, plo, pup = [], [], []
-    for cid, p in man["partitions"].items():
-        if p["rows"] > 0:
-            cids.append(int(cid))
-            plo.append([p["minx"], p["miny"]])
-            pup.append([p["maxx"], p["maxy"]])
-    cids = np.asarray(cids, dtype=np.int64)
-    plo = np.asarray(plo)
-    pup = np.asarray(pup)
+    cids, plo, pup = _manifest_arrays(man)
 
     qid = boxes.column("box_id").to_numpy()
     qlo = np.c_[boxes.column("minx").to_numpy(), boxes.column("miny").to_numpy()]
@@ -126,14 +136,7 @@ def query_index_batch(index_path: str, boxes: pa.Table, intersecting: bool = Tru
             "mode": np.full(len(qi), mode, dtype=np.int8),
         }
     )
-    ds = rd.from_arrow(routed).sort("cell_id")
-    return ds.map_batches(
-        PartitionQuerier,
-        fn_constructor_args=(index_path,),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-    )
+    return _serve_routed(index_path, routed, concurrency)
 
 
 def _serve_routed(index_path: str, routed: pa.Table, concurrency: int):
@@ -153,14 +156,7 @@ def query_index_at_point(index_path: str, points: pa.Table, concurrency: int = 2
     """locate_all_at_point for a batch of points (pid, x, y) against the
     index: route each point to partitions whose envelope contains it."""
     man = load_manifest(index_path)
-    cids, plo, pup = [], [], []
-    for cid, p in man["partitions"].items():
-        if p["rows"] > 0:
-            cids.append(int(cid))
-            plo.append([p["minx"], p["miny"]])
-            pup.append([p["maxx"], p["maxy"]])
-    cids = np.asarray(cids, dtype=np.int64)
-    plo = np.asarray(plo); pup = np.asarray(pup)
+    cids, plo, pup = _manifest_arrays(man)
     qid = points.column("pid").to_numpy()
     px = points.column("x").to_numpy()
     py = points.column("y").to_numpy()
@@ -185,14 +181,7 @@ def query_index_within_distance(index_path: str, discs: pa.Table,
     """locate_within_distance for a batch of discs (qid, x, y, r2):
     route to partitions whose envelope is within sqrt(r2) of the point."""
     man = load_manifest(index_path)
-    cids, plo, pup = [], [], []
-    for cid, p in man["partitions"].items():
-        if p["rows"] > 0:
-            cids.append(int(cid))
-            plo.append([p["minx"], p["miny"]])
-            pup.append([p["maxx"], p["maxy"]])
-    cids = np.asarray(cids, dtype=np.int64)
-    plo = np.asarray(plo); pup = np.asarray(pup)
+    cids, plo, pup = _manifest_arrays(man)
     qid = discs.column("qid").to_numpy()
     px = discs.column("x").to_numpy()
     py = discs.column("y").to_numpy()
@@ -226,16 +215,9 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
     from .ops import _topk_per_qid
 
     man = load_manifest(index_path)
-    cids, counts, plo, pup, files = [], [], [], [], {}
-    for cid, p in man["partitions"].items():
-        if p["rows"] > 0:
-            cids.append(int(cid)); counts.append(p["rows"])
-            plo.append([p["minx"], p["miny"]])
-            pup.append([p["maxx"], p["maxy"]])
-            files[int(cid)] = os.path.join(index_path, p["file"])
-    cids = np.asarray(cids, dtype=np.int64)
-    counts = np.asarray(counts, dtype=np.int64)
-    plo = np.asarray(plo); pup = np.asarray(pup)
+    cids, plo, pup, counts = _manifest_arrays(man, with_counts=True)
+    files = {int(c): os.path.join(index_path, man["partitions"][str(int(c))]["file"])
+             for c in cids}
     total = int(counts.sum())
 
     qid = queries.column("qid").to_numpy()
@@ -283,11 +265,16 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
         ordr = np.argsort(cells, kind="stable")
         cs = cells[ordr]
         bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+        from .ops import _topk_cols_per_row
+
         for gi in range(len(bnd) - 1):
             rows = ordr[bnd[gi] : bnd[gi + 1]]
             q = rt.get(int(cs[bnd[gi]]))
             if q is None:
                 continue
+            # ascending-id columns => deterministic (d2, id) ties
+            io = np.argsort(ids[rows], kind="stable")
+            rows = rows[io]
             gqid, gqx, gqy = q
             kk = min(k, len(rows))
             for s in range(0, len(gqid), 64):
@@ -296,7 +283,7 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
                 ddx = np.clip(sqx, lo0[rows][None, :], up0[rows][None, :]) - sqx
                 ddy = np.clip(sqy, lo1[rows][None, :], up1[rows][None, :]) - sqy
                 d2 = ddx * ddx + ddy * ddy
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                part = _topk_cols_per_row(d2, kk)
                 out_q.append(np.repeat(gqid[s : s + 64], kk))
                 out_i.append(ids[rows][part].ravel())
                 out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
@@ -385,25 +372,30 @@ def knn_index_batch(index_path: str, queries: pa.Table, k: int,
         answered together, never one tree walk per query."""
 
         def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            from .ops import _topk_cols_per_row
+
             cells = batch.column("cell_id").to_numpy()
             bqid = batch.column("qid").to_numpy()
             bx = batch.column("x").to_numpy()
             by = batch.column("y").to_numpy()
             out_q, out_i, out_d = [], [], []
             for cid in np.unique(cells):
-                ids, tree = self._tree(int(cid))
+                ids, tree = self._tree(int(cid))  # id-sorted by _tree
                 rows = np.nonzero(cells == cid)[0]
-                # clamped envelope distance (exact for points AND boxes)
-                qx = bx[rows][None, :]
-                qy = by[rows][None, :]
-                dx = np.clip(qx, tree.lower[:, 0:1], tree.upper[:, 0:1]) - qx
-                dy = np.clip(qy, tree.lower[:, 1:2], tree.upper[:, 1:2]) - qy
-                d2 = dx * dx + dy * dy
                 kk = min(k, len(ids))
-                part = np.argpartition(d2, kk - 1, axis=0)[:kk]
-                out_q.append(np.repeat(bqid[rows], kk))
-                out_i.append(ids[part].ravel(order="F"))
-                out_d.append(np.take_along_axis(d2, part, axis=0).ravel(order="F"))
+                # row-major query chunks: bounded allocation, contiguous
+                # argpartition axis, deterministic (d2, id) ties
+                for s in range(0, len(rows), 64):
+                    rs = rows[s : s + 64]
+                    qx = bx[rs][:, None]
+                    qy = by[rs][:, None]
+                    dx = np.clip(qx, tree.lower[None, :, 0], tree.upper[None, :, 0]) - qx
+                    dy = np.clip(qy, tree.lower[None, :, 1], tree.upper[None, :, 1]) - qy
+                    d2 = dx * dx + dy * dy
+                    part = _topk_cols_per_row(d2, kk)
+                    out_q.append(np.repeat(bqid[rs], kk))
+                    out_i.append(ids[part].ravel())
+                    out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
             if not out_q:
                 return pa.table({"qid": pa.array([], type=pa.int64()),
                                  "id": pa.array([], type=pa.int64()),

@@ -86,6 +86,45 @@ def test_at_point_and_within_distance_on_index(ray_session, sf_small, built_inde
     assert len(want) > 0
 
 
+def test_knn_tie_break_by_id_through_all_paths(ray_session, tmp_path):
+    """k-th-slot distance ties must resolve by smallest id in EVERY kNN
+    path (brute, indexed, on-index) — the reference leaves tie order
+    unspecified; the engine pins (dist2, id)."""
+    import ray.data as rd
+
+    # 30 points all at the same location + a few decoys: every distance
+    # ties, so top-3 must be ids 0,1,2 exactly
+    n = 30
+    x = np.full(n, 0.5)
+    y = np.full(n, 0.5)
+    x = np.concatenate([x, [10.0, 11.0]])
+    y = np.concatenate([y, [10.0, 11.0]])
+    ids = np.arange(len(x), dtype=np.int64)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(x))  # scramble storage order
+    t = pa.table({"id": ids[perm], "x": x[perm], "y": y[perm],
+                  "minx": x[perm], "miny": y[perm],
+                  "maxx": x[perm], "maxy": y[perm]})
+    ds = rd.from_arrow(t)
+    from geograft import grid as G
+
+    bounds = G.Bounds(0, 0, 20, 20)
+    q = pa.table({"qid": [0], "x": [0.5], "y": [0.5]})
+
+    brute = ops.knn(ds, q, k=3)
+    np.testing.assert_array_equal(brute["id"].to_numpy(), [0, 1, 2])
+
+    idx2 = ops.indexed_knn(ds, q, k=3, level=3, bounds=bounds)
+    np.testing.assert_array_equal(idx2["id"].to_numpy(), [0, 1, 2])
+
+    path = str(tmp_path / "tieidx")
+    pipeline.build_partitioned_index(ds, path, base_level=3, bounds=bounds)
+    oni = state.knn_on_index(path, q, k=3)
+    np.testing.assert_array_equal(oni["id"].to_numpy(), [0, 1, 2])
+    served = state.knn_index_batch(path, q, k=3)
+    np.testing.assert_array_equal(served["id"].to_numpy(), [0, 1, 2])
+
+
 def test_partition_cache_loads_once(built_index):
     # drive the actor class directly: same cell queried twice -> one load
     pq_actor = state.PartitionQuerier(built_index)
