@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tile_histogram(sf):
         return ops.tile_histogram(_points(sf), TILE_N, TILE_N, FX.POINTS_BOUNDS)
 
+    def tile_geometry_join(sf):
+        # raster-tile <-> vector-geometry join on an 8x8 grid
+        return ops.tile_geometry_join(FX.rects_ds(sf), 8, 8, FX.RECTS_BOUNDS)
+
     def extract_geo_spans(sf):
         # interleaved-doc round trip: synthesize docs from events, explode
         # spans, parse geo text back to exact coordinates
@@ -312,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_stream": nn_stream,
         "selection_function": selection_function,
         "tile_histogram": tile_histogram,
+        "tile_geometry_join": tile_geometry_join,
         "extract_geo_spans": extract_geo_spans,
         "dedup_exact": dedup_exact,
         "token_stats": token_stats,
@@ -415,6 +420,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({P})) "
             f"SELECT tile_x, tile_y, count(*) AS n, min(x) AS minx, min(y) AS miny, "
             f"max(x) AS maxx, max(y) AS maxy FROM t GROUP BY tile_x, tile_y"
+        ),
+        "tile_geometry_join": (
+            f"""WITH r AS (SELECT id,
+                 LEAST(GREATEST(CAST(FLOOR((minx - (-1.0)) / 120001.0 * 8) AS BIGINT), 0), 7) AS tx0,
+                 LEAST(GREATEST(CAST(FLOOR((maxx - (-1.0)) / 120001.0 * 8) AS BIGINT), 0), 7) AS tx1,
+                 LEAST(GREATEST(CAST(FLOOR((miny - (-1.0)) / 201.0 * 8) AS BIGINT), 0), 7) AS ty0,
+                 LEAST(GREATEST(CAST(FLOOR((maxy - (-1.0)) / 201.0 * 8) AS BIGINT), 0), 7) AS ty1
+               FROM ({R}))
+            SELECT u.x AS tile_x, v.y AS tile_y, r.id
+            FROM r, unnest(generate_series(r.tx0, r.tx1)) u(x),
+                    unnest(generate_series(r.ty0, r.ty1)) v(y)"""
         ),
         "extract_geo_spans": (
             "SELECT 'd' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS doc_id, "

@@ -177,6 +177,7 @@ def run_bench() -> dict:
 
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     times = {}
+    rows = {}
     for name, fn in _pipelines().items():
         best, n = None, None
         for _ in range(reps):
@@ -185,13 +186,25 @@ def run_bench() -> dict:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        rows[name] = n
         sys.stderr.write(f"# {name}: {times[name]}s (rows={n})\n")
     ray.shutdown()
+    # north-rule throughputs: docs/sec through the interleaved-doc
+    # pipeline, join pairs/sec, kNN queries/sec
+    import pyarrow.dataset as pads
+
+    n_events = pads.dataset(f"{SF_DIR}/events.parquet").count_rows()
+    thr = {
+        "extract_docs_per_sec": round(n_events / times["extract_tiles"], 1),
+        "self_join_pairs_per_sec": round(rows["self_join"] / times["self_join"], 1),
+        "knn_queries_per_sec": round(20000 / times["knn"], 1),
+    }
     return {
         "metric": "geograft headline pipelines wall-clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "throughput": thr,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }

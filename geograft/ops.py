@@ -969,6 +969,46 @@ def cell_directory(ds, level: int, bounds: G.Bounds):
     )
 
 
+def tile_geometry_join(ds, nx: int, ny: int, bounds: G.Bounds,
+                       id_col: str = "id"):
+    """Raster-tile <-> vector-geometry join: one output row per
+    (tile, geometry whose envelope intersects the tile).
+
+    Stateless flat replication per batch (the tile grid needs no
+    shuffle — tiles are addressable by arithmetic), exactly the
+    assignment the north star's tile join asks for. Clipping into the
+    grid matches tile_histogram's floor arithmetic so both share one
+    SQL oracle family.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"tile_x": pa.array([], type=pa.int64()),
+                             "tile_y": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64())})
+        x0 = batch.column("minx").to_numpy()
+        y0 = batch.column("miny").to_numpy()
+        x1 = batch.column("maxx").to_numpy()
+        y1 = batch.column("maxy").to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        tx0 = np.clip(np.floor((x0 - bounds.minx) / bounds.width * nx).astype(np.int64), 0, nx - 1)
+        tx1 = np.clip(np.floor((x1 - bounds.minx) / bounds.width * nx).astype(np.int64), 0, nx - 1)
+        ty0 = np.clip(np.floor((y0 - bounds.miny) / bounds.height * ny).astype(np.int64), 0, ny - 1)
+        ty1 = np.clip(np.floor((y1 - bounds.miny) / bounds.height * ny).astype(np.int64), 0, ny - 1)
+        cx = tx1 - tx0 + 1
+        cy = ty1 - ty0 + 1
+        counts = cx * cy
+        total = int(counts.sum())
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+        cyr = np.repeat(cy, counts)
+        out_tx = np.repeat(tx0, counts) + offs // cyr
+        out_ty = np.repeat(ty0, counts) + offs % cyr
+        return pa.table({"tile_x": out_tx, "tile_y": out_ty, id_col: ids[row_idx]})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def tile_histogram(ds, nx: int, ny: int, bounds: G.Bounds):
     """Row-major tile assignment + per-tile aggregate — the raster-tile
     side of the tile<->geometry join surface, with an ANSI-SQL oracle
