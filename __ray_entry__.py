@@ -28,6 +28,7 @@ CONTAINS_Q = (6.55, 8.0)                   # membership by equality (event 0)
 TILE_N = 16                                 # tile grid for the histogram
 SEL_X = 100.0                               # custom selection function: x < SEL_X
 LINE_WD_Q = (100.0, 10.0, 25.0)             # line within-distance (x, y, r2)
+POLY_Q = (100.0, 10.5)                      # point-in-polygon query point
 
 
 def entry() -> Any:
@@ -242,6 +243,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_parquet_sized(f"{sf}/embeddings.parquet"), threshold=0.45
         )
 
+    def poly_contains(sf):
+        # point-in-polygon over POLY spans (triangles derived from events)
+        import ray.data as rd_unused  # noqa: F401
+
+        from geograft import synth as S
+
+        docs = read_parquet_sized(f"{sf}/events.parquet").map_batches(
+            S.docs_from_events_polys, batch_format="pyarrow", batch_size=None
+        )
+        polys = docs.map_batches(
+            lambda b: ops.parse_poly_spans(ops.explode_spans(b)),
+            batch_format="pyarrow", batch_size=None,
+        )
+        return ops.locate_polys_at_point(polys, *POLY_Q).select_columns(["doc_id"])
+
     def line_within_distance(sf):
         # LINE-geometry spans: synthesize, parse, exact segment-distance
         # filter (line.rs:97-113 kernel through the full Dataset path)
@@ -328,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
         "embedding_neardup": embedding_neardup,
+        "poly_contains": poly_contains,
         "line_within_distance": line_within_distance,
         "events_window": events_window,
         "events_sessions": events_sessions,
@@ -461,6 +478,12 @@ def oracle_sql() -> dict[str, str]:
         # ann_cosine_topk_lsh / embedding_neardup: probabilistic or
         # model-style ops -> no SQL oracle (driver records rows-only);
         # their exactness/soundness oracles live in tests/.
+        "poly_contains": (
+            f"SELECT 'd' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS doc_id "
+            f"FROM events WHERE 30.0*({POLY_Q[1]} - user_id) > 0 "
+            f"AND (-30.0*({POLY_Q[1]} - user_id) - 5.0*({POLY_Q[0]} - value - 30.0)) > 0 "
+            f"AND 5.0*({POLY_Q[0]} - value) > 0"
+        ),
         "line_within_distance": (
         f"""WITH l AS (SELECT event_id, value AS x1, CAST(user_id AS DOUBLE) AS y1,
              value + CAST(json_extract_string(props, '$.k') AS DOUBLE)/10.0 AS x2,

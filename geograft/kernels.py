@@ -187,3 +187,34 @@ def line_distance_2(p1: np.ndarray, p2: np.ndarray, q) -> np.ndarray:
     """Line::distance_2 (primitives/line.rs:97-113)."""
     near = line_nearest_point(p1, p2, q)
     return point_distance_2(near, q)
+
+
+def poly_contains_point(flat_xy: np.ndarray, offsets: np.ndarray, q) -> np.ndarray:
+    """Point-in-polygon (even-odd ray cast) for n polygons at once.
+
+    ``flat_xy``: (m, 2) concatenated vertex rings; ``offsets``: (n+1,)
+    ring boundaries. Vectorized over ALL edges of ALL polygons in one
+    pass (np.add.at crossing counter). Boundary points follow the
+    standard half-open ray-cast convention (a point exactly on an edge
+    may land either side) — rstar itself leaves containment to the
+    geometry impl (PointDistance::contains_point, object.rs:154-200),
+    so this is the engine's polygon contract.
+    """
+    q = np.asarray(q, dtype=np.float64)
+    n = len(offsets) - 1
+    m = len(flat_xy)
+    if m == 0:
+        return np.zeros(n, dtype=bool)
+    # next-vertex index with per-ring wraparound
+    nxt = np.arange(1, m + 1, dtype=np.int64)
+    nxt[offsets[1:] - 1] = offsets[:-1]
+    x1, y1 = flat_xy[:, 0], flat_xy[:, 1]
+    x2, y2 = flat_xy[nxt, 0], flat_xy[nxt, 1]
+    straddle = (y1 > q[1]) != (y2 > q[1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (q[1] - y1) / (y2 - y1) + x1
+    cross = straddle & (q[0] < xint)
+    poly_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, poly_idx[cross], 1)
+    return (counts % 2) == 1

@@ -174,6 +174,70 @@ def extract_geometries(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def parse_poly_spans(batch: pa.Table) -> pa.Table:
+    """Exploded span rows -> polygon rows for ``POLY(x1 y1 x2 y2 ...)``
+    spans: variable-length vertex rings kept as a list<float64> column
+    (zero-copy Arrow offsets), plus the ring's envelope columns."""
+    geo = batch.filter(pc.match_substring_regex(batch["text"], r"^POLY\("))
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "span_idx": pa.array([], type=pa.int32()),
+        "coords": pa.array([], type=pa.list_(pa.float64())),
+        "minx": pa.array([], type=pa.float64()),
+        "miny": pa.array([], type=pa.float64()),
+        "maxx": pa.array([], type=pa.float64()),
+        "maxy": pa.array([], type=pa.float64()),
+    })
+    if len(geo) == 0:
+        return empty
+    txt = geo.column("text").combine_chunks()
+    args = pc.utf8_rtrim(pc.list_element(pc.split_pattern(txt, "("), 1), ")")
+    nums = pc.split_pattern(args, " ")
+    lens = pc.list_value_length(nums).to_numpy().astype(np.int64)
+    vals = pc.cast(pc.list_flatten(nums), pa.float64()).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    xs = vals[0::2]
+    ys = vals[1::2]
+    voff = offsets // 2
+    minx = np.minimum.reduceat(xs, voff[:-1])
+    maxx = np.maximum.reduceat(xs, voff[:-1])
+    miny = np.minimum.reduceat(ys, voff[:-1])
+    maxy = np.maximum.reduceat(ys, voff[:-1])
+    coords = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(vals))
+    return pa.table(
+        {
+            "doc_id": geo.column("doc_id"),
+            "span_idx": geo.column("span_idx"),
+            "coords": coords,
+            "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+        }
+    )
+
+
+def locate_polys_at_point(ds, x: float, y: float):
+    """Point-in-polygon over a polygon Dataset (coords + envelope cols):
+    envelope prefilter then the exact vectorized ray-cast kernel."""
+    q = np.array([x, y])
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        lo, up = _env_arrays(batch)
+        env_ok = K.env_contains_point(lo, up, q)
+        batch = batch.filter(pa.array(env_ok))
+        if len(batch) == 0:
+            return batch
+        coords = batch.column("coords").combine_chunks()
+        flat = coords.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(coords).to_numpy().astype(np.int64) // 2
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        flat_xy = flat.reshape(-1, 2)
+        keep = K.poly_contains_point(flat_xy, offsets, q)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # cell assignment (level-1 partitioning)
 # --------------------------------------------------------------------------

@@ -155,6 +155,29 @@ def docs_from_events_lines(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(doc_ids), "spans": spans}, schema=DOC_SCHEMA)
 
 
+def docs_from_events_polys(batch: pa.Table) -> pa.Table:
+    """Interleaved docs whose geo span is a POLY triangle derived from
+    event columns: vertices (v,u), (v+30,u), (v,u+5) with exact reprs."""
+    eid = batch["event_id"].to_numpy()
+    val = batch["value"].to_numpy()
+    uid = batch["user_id"].to_numpy().astype(np.float64)
+
+    doc_ids = [f"d{e:010d}" for e in eid]
+    geo = [
+        f"POLY({float(v)!r} {float(u)!r} {float(v + 30.0)!r} {float(u)!r} "
+        f"{float(v)!r} {float(u + 5.0)!r})"
+        for v, u in zip(val, uid)
+    ]
+    n = len(doc_ids)
+    flat = pa.StructArray.from_arrays(
+        [pa.array(np.tile(["geo"], n)), pa.array(geo), pa.array([""] * n),
+         pa.array(np.zeros(n, dtype=np.int32))],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), flat)
+    return pa.table({"doc_id": pa.array(doc_ids), "spans": spans}, schema=DOC_SCHEMA)
+
+
 def span_fingerprints(docs: pa.Table) -> dict[str, int]:
     """hash of the exact (kind, text, media_ref, order) sequence per doc —
     the check every pipeline stage must leave unchanged."""
