@@ -245,8 +245,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def poly_contains(sf):
         # point-in-polygon over POLY spans (triangles derived from events)
-        import ray.data as rd_unused  # noqa: F401
-
         from geograft import synth as S
 
         docs = read_parquet_sized(f"{sf}/events.parquet").map_batches(

@@ -75,6 +75,8 @@ def _pipelines():
         state["dir"] = pipeline.directory_from_manifest(man)
         return man["built_cells"]
 
+    KNN_QN = 20000
+
     def q_knn():
         # build-once/query-many fast path: shuffle-free kNN over the
         # index built by q_build_index (pruned partition reads only)
@@ -83,7 +85,7 @@ def _pipelines():
         from geograft import state as ST
 
         rng = np.random.default_rng(42)
-        qn = 20000
+        qn = KNN_QN
         q = pa.table(
             {
                 "qid": np.arange(qn),
@@ -131,7 +133,7 @@ def _pipelines():
         )
         return ops.locate_in_envelope_multi(FX.rects_ds(SF_DIR), boxes).count()
 
-    return {
+    pipes = {
         "extract_tiles": q_extract_tiles,
         "spatial_join": q_spatial_join,
         "self_join": q_self_join,
@@ -140,6 +142,8 @@ def _pipelines():
         "knn_adhoc": q_knn_adhoc,
         "envelope_scan": q_envelope_scan,
     }
+    pipes["__knn_qn__"] = KNN_QN
+    return pipes
 
 
 def run_bench() -> dict:
@@ -172,13 +176,18 @@ def run_bench() -> dict:
     # pyarrow in every worker so the timed lap measures steady-state
     # throughput, not cold-start (which scales with num_cpus, not data).
     if os.environ.get("GRAFT_BENCH_WARMUP", "1") == "1":
-        for fn in _pipelines().values():
+        warm = _pipelines()
+        warm.pop("__knn_qn__", None)
+        for fn in warm.values():
             fn()
 
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     times = {}
+    raw_times = {}
     rows = {}
-    for name, fn in _pipelines().items():
+    pipes = _pipelines()
+    knn_qn = pipes.pop("__knn_qn__")
+    for name, fn in pipes.items():
         best, n = None, None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -186,6 +195,7 @@ def run_bench() -> dict:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        raw_times[name] = max(best, 1e-9)
         rows[name] = n
         sys.stderr.write(f"# {name}: {times[name]}s (rows={n})\n")
     ray.shutdown()
@@ -195,9 +205,9 @@ def run_bench() -> dict:
 
     n_events = pads.dataset(f"{SF_DIR}/events.parquet").count_rows()
     thr = {
-        "extract_docs_per_sec": round(n_events / times["extract_tiles"], 1),
-        "self_join_pairs_per_sec": round(rows["self_join"] / times["self_join"], 1),
-        "knn_queries_per_sec": round(20000 / times["knn"], 1),
+        "extract_docs_per_sec": round(n_events / raw_times["extract_tiles"], 1),
+        "self_join_pairs_per_sec": round(rows["self_join"] / raw_times["self_join"], 1),
+        "knn_queries_per_sec": round(knn_qn / raw_times["knn"], 1),
     }
     return {
         "metric": "geograft headline pipelines wall-clock",

@@ -142,6 +142,29 @@ def covering_cells(minx, miny, maxx, maxy, level: int, bounds: Bounds = UNIT) ->
     return pack(gx.ravel(), gy.ravel(), level)
 
 
+def enumerate_cell_ranges(
+    cx0: np.ndarray, cy0: np.ndarray, cx1: np.ndarray, cy1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand n inclusive 2-d integer ranges into their member cells.
+
+    Returns (row_index, cx, cy): one entry per (range, contained cell).
+    The shared replication arithmetic behind covering-cell routing and
+    tile joins."""
+    nx = cx1 - cx0 + 1
+    ny = cy1 - cy0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    # local enumeration 0..counts[i)-1 for every range
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    nyr = np.repeat(ny, counts)
+    cx = np.repeat(cx0, counts) + offs // nyr
+    cy = np.repeat(cy0, counts) + offs % nyr
+    return row_idx, cx, cy
+
+
 def covering_cells_of_envelopes(
     minx, miny, maxx, maxy, level: int, bounds: Bounds = UNIT
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -153,18 +176,7 @@ def covering_cells_of_envelopes(
     """
     cx0, cy0 = cell_coords(minx, miny, level, bounds)
     cx1, cy1 = cell_coords(maxx, maxy, level, bounds)
-    nx = cx1 - cx0 + 1
-    ny = cy1 - cy0 + 1
-    counts = nx * ny
-    total = int(counts.sum())
-    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    # local enumeration 0..counts[i)-1 for every envelope
-    offs = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(counts) - counts, counts
-    )
-    nyr = np.repeat(ny, counts)
-    cx = np.repeat(cx0, counts) + offs // nyr
-    cy = np.repeat(cy0, counts) + offs % nyr
+    row_idx, cx, cy = enumerate_cell_ranges(cx0, cy0, cx1, cy1)
     return row_idx, pack(cx, cy, level)
 
 

@@ -205,9 +205,13 @@ def poly_contains_point(flat_xy: np.ndarray, offsets: np.ndarray, q) -> np.ndarr
     m = len(flat_xy)
     if m == 0:
         return np.zeros(n, dtype=bool)
-    # next-vertex index with per-ring wraparound
+    # next-vertex index with per-ring wraparound (empty rings skipped —
+    # writing offsets[i]-1 for a zero-length ring would clobber the
+    # PREVIOUS ring's closing edge)
     nxt = np.arange(1, m + 1, dtype=np.int64)
-    nxt[offsets[1:] - 1] = offsets[:-1]
+    ring_len = np.diff(offsets)
+    nonempty = ring_len > 0
+    nxt[offsets[1:][nonempty] - 1] = offsets[:-1][nonempty]
     x1, y1 = flat_xy[:, 0], flat_xy[:, 1]
     x2, y2 = flat_xy[nxt, 0], flat_xy[nxt, 1]
     straddle = (y1 > q[1]) != (y2 > q[1])

@@ -194,6 +194,16 @@ def parse_poly_spans(batch: pa.Table) -> pa.Table:
     args = pc.utf8_rtrim(pc.list_element(pc.split_pattern(txt, "("), 1), ")")
     nums = pc.split_pattern(args, " ")
     lens = pc.list_value_length(nums).to_numpy().astype(np.int64)
+    # a malformed span (odd coordinate count or <3 vertices) would shift
+    # the global x/y striding and corrupt every LATER polygon — drop it
+    ok = (lens % 2 == 0) & (lens >= 6)
+    if not ok.all():
+        geo = geo.filter(pa.array(ok))
+        if len(geo) == 0:
+            return empty
+        nums = nums.filter(pa.array(ok)) if not isinstance(nums, pa.ChunkedArray) \
+            else nums.combine_chunks().filter(pa.array(ok))
+        lens = lens[ok]
     vals = pc.cast(pc.list_flatten(nums), pa.float64()).to_numpy()
     offsets = np.concatenate([[0], np.cumsum(lens)])
     xs = vals[0::2]
@@ -1047,28 +1057,27 @@ def tile_geometry_join(ds, nx: int, ny: int, bounds: G.Bounds,
 
     def f(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table({"tile_x": pa.array([], type=pa.int64()),
-                             "tile_y": pa.array([], type=pa.int64()),
-                             id_col: pa.array([], type=pa.int64())})
+            return pa.table({
+                "tile_x": pa.array([], type=pa.int64()),
+                "tile_y": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=batch.schema.field(id_col).type),
+            })
         x0 = batch.column("minx").to_numpy()
         y0 = batch.column("miny").to_numpy()
         x1 = batch.column("maxx").to_numpy()
         y1 = batch.column("maxy").to_numpy()
-        ids = batch.column(id_col).to_numpy()
         tx0 = np.clip(np.floor((x0 - bounds.minx) / bounds.width * nx).astype(np.int64), 0, nx - 1)
         tx1 = np.clip(np.floor((x1 - bounds.minx) / bounds.width * nx).astype(np.int64), 0, nx - 1)
         ty0 = np.clip(np.floor((y0 - bounds.miny) / bounds.height * ny).astype(np.int64), 0, ny - 1)
         ty1 = np.clip(np.floor((y1 - bounds.miny) / bounds.height * ny).astype(np.int64), 0, ny - 1)
-        cx = tx1 - tx0 + 1
-        cy = ty1 - ty0 + 1
-        counts = cx * cy
-        total = int(counts.sum())
-        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
-        cyr = np.repeat(cy, counts)
-        out_tx = np.repeat(tx0, counts) + offs // cyr
-        out_ty = np.repeat(ty0, counts) + offs % cyr
-        return pa.table({"tile_x": out_tx, "tile_y": out_ty, id_col: ids[row_idx]})
+        row_idx, out_tx, out_ty = G.enumerate_cell_ranges(tx0, ty0, tx1, ty1)
+        return pa.table(
+            {
+                "tile_x": out_tx,
+                "tile_y": out_ty,
+                id_col: batch.column(id_col).take(pa.array(row_idx)),
+            }
+        )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
