@@ -63,6 +63,42 @@ def test_raycast_multiple_polys():
     )
 
 
+def test_raycast_empty_ring_does_not_corrupt_neighbor():
+    # regression: an empty ring between polygons must not clobber the
+    # previous ring's closing edge
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    tri = np.array([[10, 10], [11, 10], [10, 11]], dtype=float)
+    flat = np.vstack([sq, tri])
+    offsets = np.array([0, 4, 4, 7])  # square, EMPTY, triangle
+    got = K.poly_contains_point(flat, offsets, [0.5, 0.5])
+    np.testing.assert_array_equal(got, [True, False, False])
+    got = K.poly_contains_point(flat, offsets, [10.2, 10.2])
+    np.testing.assert_array_equal(got, [False, False, True])
+
+
+def test_parse_poly_drops_malformed_without_corrupting_rest():
+    # regression: an odd-coordinate span must not shift x/y striding of
+    # later well-formed polygons
+    import pyarrow as pa_
+
+    spans = pa_.table({
+        "doc_id": ["a", "b", "c"],
+        "span_idx": pa_.array([0, 0, 0], type=pa_.int32()),
+        "kind": ["geo", "geo", "geo"],
+        "text": [
+            "POLY(0.0 0.0 1.0 0.0 1.0 1.0)",      # fine triangle
+            "POLY(1.0 2.0 3.0)",                   # malformed (odd)
+            "POLY(5.0 5.0 6.0 5.0 6.0 6.0)",      # fine triangle
+        ],
+        "media_ref": ["", "", ""],
+        "offset": pa_.array([0, 0, 0], type=pa_.int32()),
+    })
+    out = ops.parse_poly_spans(spans).to_pandas()
+    assert out["doc_id"].tolist() == ["a", "c"]
+    c = out[out["doc_id"] == "c"].iloc[0]
+    assert (c.minx, c.miny, c.maxx, c.maxy) == (5.0, 5.0, 6.0, 6.0)
+
+
 def test_poly_span_pipeline(ray_session, sf_small):
     import duckdb
     import ray.data as rd
