@@ -74,6 +74,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def locate_within_distance(sf):
         return ops.locate_within_distance(_points(sf), *WD_Q).select_columns(["id", "x", "y"])
 
+    def locate_in_box_3d(sf):
+        # 3-d envelope query (value, user_id, event_id) — the reference is
+        # dimension-generic (point.rs:295-323); so is the engine
+        ds = read_parquet_sized(
+            f"{sf}/events.parquet", columns=["event_id", "value", "user_id"]
+        )
+        return ops.locate_in_box_nd(
+            ds, ["value", "user_id", "event_id"],
+            [5.0, 10.0, 0.0], [200.0, 80.0, 5000.0],
+        ).select_columns(["event_id"])
+
     def contains(sf):
         # RTree::contains (rtree.rs:890-892): membership by equality
         import numpy as np
@@ -317,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locate_in_envelope_intersecting": locate_in_envelope_intersecting,
         "locate_all_at_point": locate_all_at_point,
         "locate_within_distance": locate_within_distance,
+        "locate_in_box_3d": locate_in_box_3d,
         "contains": contains,
         "knn": knn,
         "indexed_knn": indexed_knn,
@@ -388,6 +400,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE (x-{wx})*(x-{wx}) + (y-{wy})*(y-{wy}) <= {wr2}"
         ),
         "contains": f"SELECT id, x, y FROM ({P}) WHERE x = {cx} AND y = {cy}",
+        "locate_in_box_3d": (
+            "SELECT event_id FROM events WHERE value BETWEEN 5.0 AND 200.0 "
+            "AND user_id BETWEEN 10.0 AND 80.0 AND event_id BETWEEN 0.0 AND 5000.0"
+        ),
         "knn": (
             f"SELECT 0 AS qid, id, (x-{kx})*(x-{kx}) + (y-{ky})*(y-{ky}) AS dist2 "
             f"FROM ({P}) ORDER BY dist2, id LIMIT {kk}"

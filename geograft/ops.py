@@ -365,6 +365,25 @@ def _exact_distance_2(batch: pa.Table, q: np.ndarray) -> np.ndarray:
     return d2
 
 
+def locate_in_box_nd(ds, axes: list[str], lo: list[float], hi: list[float]):
+    """N-dimensional envelope containment over arbitrary coordinate
+    columns — the Dataset-layer counterpart of the reference's
+    dimension-generic Point/AABB (rstar supports any D >= 2,
+    point.rs:295-323); kernels and PTree are already n-dim, this exposes
+    the same generality to Dataset pipelines."""
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = np.ones(len(batch), dtype=bool)
+        for i, col in enumerate(axes):
+            v = batch.column(col).to_numpy().astype(np.float64)
+            keep &= (v >= lo[i]) & (v <= hi[i])
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def locate_with_selection_function(ds, keep_rows) -> "ray.data.Dataset":
     """The UDF hook (rtree.rs:507-520, SelectionFunction trait):
     ``keep_rows(batch) -> bool mask`` plays should_unpack_leaf; partition
