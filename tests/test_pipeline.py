@@ -100,6 +100,40 @@ def test_skew_split_bounds_partitions(ray_session, tmp_index):
     assert max(over, default=0) in (0, 18000 + spread.shape[0] - len(spread)) or over[0] >= 18000
 
 
+def test_skew_index_query_and_delta(ray_session, tmp_path):
+    """Adaptive (hot-split) cell ids keep working through query planning
+    and delta ingest: envelope answers equal brute force, and delta rows
+    land in the adaptive cells the manifest's hot_map dictates."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 8000
+    # hot corner: 70% of rows inside [0, .1)^2
+    hot = rng.uniform(0, 0.1, (int(n * 0.7), 2))
+    cold = rng.uniform(0, 1, (n - len(hot), 2))
+    xy = np.vstack([hot, cold])
+    t = pa.table({"id": np.arange(n), "minx": xy[:, 0], "miny": xy[:, 1],
+                  "maxx": xy[:, 0], "maxy": xy[:, 1]})
+    bounds = G.Bounds(0, 0, 1, 1)
+    path = str(tmp_path / "skewidx")
+    man = pipeline.build_partitioned_index(
+        rd.from_arrow(t.slice(0, 7000)), path, base_level=2, bounds=bounds,
+        target_rows=1000,
+    )
+    assert len(man["hot_map"]) >= 1
+    pipeline.ingest_delta(path, rd.from_arrow(t.slice(7000)))
+    pipeline.sanity_check_index(path, expected_rows=n)
+    # query crossing hot and cold regions == brute force
+    q = (0.05, 0.05, 0.5, 0.5)
+    got = np.sort(
+        pipeline.query_index_envelope(path, *q).to_pandas()["id"].to_numpy()
+    )
+    want = np.nonzero(
+        (xy[:, 0] >= q[0]) & (xy[:, 0] <= q[2]) & (xy[:, 1] >= q[1]) & (xy[:, 1] <= q[3])
+    )[0]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_delta_ingest_equals_bulk(ray_session, sf_small, tmp_path):
     import ray.data as rd
 
