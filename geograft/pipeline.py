@@ -35,7 +35,8 @@ import pyarrow.parquet as pq
 from . import grid as G
 from . import ops
 
-MANIFEST = "manifest.json"
+# underscore prefix: pyarrow/Ray dataset discovery skips non-data files
+MANIFEST = "_manifest.json"
 
 
 def plan_skew_split(directory: pd.DataFrame, base_level: int, target_rows: int,
@@ -245,6 +246,117 @@ def query_index_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
     if intersecting:
         return ops.locate_in_envelope_intersecting(ds, qminx, qminy, qmaxx, qmaxy)
     return ops.locate_in_envelope(ds, qminx, qminy, qmaxx, qmaxy)
+
+
+def checkpointed_spatial_join(
+    left, right, level: int, bounds: G.Bounds, out_dir: str,
+    id_col: str = "id", resume: bool = True,
+) -> dict:
+    """spatial_join with resumable, partitioned output.
+
+    Pairs are written one parquet file per shuffle bucket
+    (`pairs-{bucket}.parquet`, atomic rename) plus a manifest recording
+    rows/bytes/wall_ms per bucket. On rerun, finished buckets are
+    filtered out BEFORE the shuffle — their rows never enter the
+    exchange, so a resumed run only pays for the missing partitions.
+    Returns the manifest; read results with read_parquet(out_dir).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .ops import (N_SHUFFLE, PTree, _cell_level, _env_arrays,
+                      coarse_bucket_ids, replicate_to_cells)
+
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, MANIFEST)
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            done = json.load(f)["buckets"]
+    done_ids = np.fromiter((int(k) for k in done), dtype=np.int64,
+                           count=len(done))
+
+    def prep(side_tag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.select([id_col, "minx", "miny", "maxx", "maxy"])
+            t = replicate_to_cells(t, level, bounds)
+            cg = coarse_bucket_ids(t.column("cell_id").to_numpy())
+            keep = ~np.isin(cg, done_ids)
+            t = t.append_column("side", pa.array(np.full(len(t), side_tag, dtype=np.int8)))
+            t = t.append_column("__cg", pa.array(cg))
+            return t.filter(pa.array(keep))
+
+        return f
+
+    both = left.map_batches(prep(0), batch_format="pyarrow", batch_size=None).union(
+        right.map_batches(prep(1), batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_and_write(group: pa.Table) -> pd.DataFrame:
+        cols = ["bucket", "rows", "bytes", "wall_ms"]
+        if len(group) == 0 or "cell_id" not in group.column_names:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64 if c != "wall_ms" else float)
+                                 for c in cols})
+        t0 = time.perf_counter()
+        bucket = int(group.column("__cg")[0].as_py())
+        side = group.column("side").to_numpy()
+        cell = group.column("cell_id").to_numpy()
+        lo, up = _env_arrays(group)
+        ids = group.column(id_col).to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+        out_l, out_r = [], []
+        for gi in range(len(bnd) - 1):
+            rows = order[bnd[gi] : bnd[gi + 1]]
+            lmask = side[rows] == 0
+            li, ri = rows[lmask], rows[~lmask]
+            if len(li) == 0 or len(ri) == 0:
+                continue
+            a, b = PTree(lo[li], up[li]).join(PTree(lo[ri], up[ri]))
+            ga, gb = li[a], ri[b]
+            this_cell = cell[rows[0]]
+            ixmin = np.maximum(lo[ga, 0], lo[gb, 0])
+            iymin = np.maximum(lo[ga, 1], lo[gb, 1])
+            owner = G.owner_cell(ixmin, iymin, int(_cell_level(this_cell)), bounds)
+            keep = owner == this_cell
+            out_l.append(ids[ga[keep]])
+            out_r.append(ids[gb[keep]])
+        pairs = pa.table(
+            {
+                "left_id": np.concatenate(out_l) if out_l else np.empty(0, dtype=np.int64),
+                "right_id": np.concatenate(out_r) if out_r else np.empty(0, dtype=np.int64),
+            }
+        )
+        fname = os.path.join(out_dir, f"pairs-{bucket}.parquet")
+        tmp = fname + ".tmp"
+        pq.write_table(pairs, tmp)
+        os.replace(tmp, fname)
+        return pd.DataFrame(
+            {"bucket": [bucket], "rows": [len(pairs)],
+             "bytes": [os.path.getsize(fname)],
+             "wall_ms": [round((time.perf_counter() - t0) * 1e3, 2)]}
+        )
+
+    stats = both.groupby("__cg").map_groups(join_and_write, batch_format="pyarrow").to_pandas()
+    buckets = dict(done)
+    for r in stats.itertuples():
+        buckets[str(int(r.bucket))] = {
+            "file": f"pairs-{int(r.bucket)}.parquet",
+            "rows": int(r.rows), "bytes": int(r.bytes), "wall_ms": float(r.wall_ms),
+        }
+    man = {
+        "level": level, "bounds": bounds.to_list(),
+        "n_buckets": N_SHUFFLE,
+        "total_pairs": sum(b["rows"] for b in buckets.values()),
+        "built_buckets": len(stats), "resumed_buckets": len(done),
+        "buckets": buckets,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, man_path)
+    return man
 
 
 def ingest_delta(path: str, delta_ds) -> dict:

@@ -100,6 +100,50 @@ def test_skew_split_bounds_partitions(ray_session, tmp_index):
     assert max(over, default=0) in (0, 18000 + spread.shape[0] - len(spread)) or over[0] >= 18000
 
 
+def test_checkpointed_spatial_join_resume(ray_session, sf_small, tmp_path):
+    import ray.data as rd
+
+    out = str(tmp_path / "pairs")
+    man1 = pipeline.checkpointed_spatial_join(
+        FX.join_left_ds(sf_small), FX.join_right_ds(sf_small),
+        level=4, bounds=FX.JOIN_BOUNDS, out_dir=out,
+    )
+    want = ops.spatial_join(
+        FX.join_left_ds(sf_small), FX.join_right_ds(sf_small),
+        level=4, bounds=FX.JOIN_BOUNDS,
+    ).to_pandas()
+    got = rd.read_parquet(out).to_pandas()
+    assert set(zip(got["left_id"], got["right_id"])) == set(
+        zip(want["left_id"], want["right_id"])
+    )
+    assert man1["total_pairs"] == len(want)
+
+    # simulate a partial run: drop half the buckets (manifest + files)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out, pipeline.MANIFEST)) as f:
+        man = _json.load(f)
+    keys = sorted(man["buckets"])
+    kept = {k: man["buckets"][k] for k in keys[: len(keys) // 2]}
+    for k in keys[len(keys) // 2 :]:
+        _os.remove(_os.path.join(out, man["buckets"][k]["file"]))
+    man["buckets"] = kept
+    with open(_os.path.join(out, pipeline.MANIFEST), "w") as f:
+        _json.dump(man, f)
+
+    man2 = pipeline.checkpointed_spatial_join(
+        FX.join_left_ds(sf_small), FX.join_right_ds(sf_small),
+        level=4, bounds=FX.JOIN_BOUNDS, out_dir=out,
+    )
+    assert man2["resumed_buckets"] == len(kept)
+    assert man2["built_buckets"] >= 1
+    got2 = rd.read_parquet(out).to_pandas()
+    assert set(zip(got2["left_id"], got2["right_id"])) == set(
+        zip(want["left_id"], want["right_id"])
+    )
+
+
 def test_skew_index_query_and_delta(ray_session, tmp_path):
     """Adaptive (hot-split) cell ids keep working through query planning
     and delta ingest: envelope answers equal brute force, and delta rows
