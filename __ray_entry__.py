@@ -51,6 +51,18 @@ def _points(sf_dir: str):
     return FX.points_ds(sf_dir)
 
 
+def _typed_pandas(ds):
+    """Dataset -> pandas, preserving column schema even when every block
+    is empty (Ray's to_pandas drops columns on an all-empty dataset)."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        schema = ds.schema()
+        import pandas as pd
+
+        return pd.DataFrame({n: pd.Series(dtype="object") for n in schema.names})
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from geograft import fixtures as FX
     from geograft import ops, synth
@@ -69,7 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ops.locate_in_envelope_intersecting(FX.rects_ds(sf), *RECT_Q).select_columns(["id"])
 
     def locate_all_at_point(sf):
-        return ops.locate_all_at_point(FX.rects_ds(sf), *AT_POINT_Q).select_columns(["id"])
+        # tiny result: return typed pandas so an empty match set keeps
+        # its schema at every scale factor
+        return _typed_pandas(
+            ops.locate_all_at_point(FX.rects_ds(sf), *AT_POINT_Q).select_columns(["id"])
+        )[["id"]]
 
     def locate_within_distance(sf):
         return ops.locate_within_distance(_points(sf), *WD_Q).select_columns(["id", "x", "y"])
@@ -96,7 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             return b.filter(pa.array(keep))
 
-        return _points(sf).map_batches(f, batch_format="pyarrow").select_columns(["id", "x", "y"])
+        return _typed_pandas(
+            _points(sf).map_batches(f, batch_format="pyarrow").select_columns(["id", "x", "y"])
+        )[["id", "x", "y"]]
 
     def knn(sf):
         import pyarrow as pa

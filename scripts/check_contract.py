@@ -27,7 +27,11 @@ def to_pandas(res):
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if len(df.columns) == 0:
+        # Ray drops columns when every block is empty; rebuild from schema
+        df = pd.DataFrame({n: pd.Series(dtype="object") for n in res.schema().names})
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
