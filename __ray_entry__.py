@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_stats(sf):
         return T.token_stats(_docs(sf))
 
+    def bpe_token_stats(sf):
+        return T.bpe_token_stats(_docs(sf))
+
     def jaccard_pairs(sf):
         return T.jaccard_pairs_exact(_docs(sf), tau=0.5)
 
@@ -364,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_geo_spans": extract_geo_spans,
         "dedup_exact": dedup_exact,
         "token_stats": token_stats,
+        "bpe_token_stats": bpe_token_stats,
         "jaccard_pairs": jaccard_pairs,
         "neardup_minhash": neardup_minhash,
         "lang_id": lang_id,
@@ -492,6 +496,13 @@ def oracle_sql() -> dict[str, str]:
             "length(text)::BIGINT AS n_chars_q, "
             "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits, "
             "CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio "
+            "FROM documents"
+        ),
+        "bpe_token_stats": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+'))::BIGINT AS n_word, "
+            "len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_num "
             "FROM documents"
         ),
         "jaccard_pairs": (

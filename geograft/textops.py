@@ -101,6 +101,36 @@ def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+# BPE-ish pre-tokenizer classes (GPT-2-style word/number/punct split,
+# simplified to a dialect-portable character-class regex so the DuckDB
+# oracle matches exactly)
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """BPE-ish token counts per doc: words, numbers, punctuation runs —
+    the pre-tokenization granularity a byte-pair encoder consumes."""
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+
+    def f(b: pa.Table) -> pa.Table:
+        s = pd.Series(b.column(text_col).to_pylist())
+        n_bpe = s.str.count(BPE_PATTERN).fillna(0).astype(np.int64)
+        n_word = s.str.count(r"[a-zA-Z]+").fillna(0).astype(np.int64)
+        n_num = s.str.count(r"[0-9]+").fillna(0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_bpe": n_bpe.to_numpy(),
+                "n_word": n_word.to_numpy(),
+                "n_num": n_num.to_numpy(),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"},
