@@ -4,10 +4,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
 
---scaling: runs the same bench in two fresh processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input and reports throughput at
-both plus scaling efficiency (the sandbox evidence for the north
-rule's two-cluster-size criterion — see BASELINE.md).
+--scaling: runs the same bench in fresh processes at two parallelism
+levels (default N=2 and 4N=8; override with GRAFT_SCALING_LO/HI) on the
+same deterministically-derived input and reports throughput at both
+plus scaling efficiency (the sandbox evidence for the north rule's
+two-cluster-size criterion — see BASELINE.md for the full analysis,
+including the 8->32 memory-bandwidth-saturation regime).
 """
 
 from __future__ import annotations

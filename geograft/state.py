@@ -200,6 +200,44 @@ def query_index_within_distance(index_path: str, discs: pa.Table,
     return _serve_routed(index_path, routed, concurrency)
 
 
+def _plan_knn_routes(qid, qx, qy, plo, pup, counts, total, k):
+    """Chunked + threaded planning (pure numpy releases the GIL): for
+    each query, the proven candidate-partition set (same bound
+    derivation as ops.indexed_knn)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def plan_chunk(sl):
+        cqx = qx[sl][:, None]
+        cqy = qy[sl][:, None]
+        dx = np.clip(cqx, plo[None, :, 0], pup[None, :, 0]) - cqx
+        dy = np.clip(cqy, plo[None, :, 1], pup[None, :, 1]) - cqy
+        mind2 = dx * dx + dy * dy
+        fx = np.maximum(np.abs(cqx - plo[None, :, 0]), np.abs(cqx - pup[None, :, 0]))
+        fy = np.maximum(np.abs(cqy - plo[None, :, 1]), np.abs(cqy - pup[None, :, 1]))
+        maxd2 = fx * fx + fy * fy
+        order = np.argsort(mind2, axis=1, kind="stable")
+        csum = np.cumsum(counts[order], axis=1)
+        if total <= k:
+            ub = np.full(mind2.shape[0], np.inf)
+        else:
+            first_ge = np.argmax(csum >= min(k, total), axis=1)
+            prefix_max = np.maximum.accumulate(
+                np.take_along_axis(maxd2, order, axis=1), axis=1
+            )
+            ub = prefix_max[np.arange(mind2.shape[0]), first_ge]
+        ci, pi_ = np.nonzero(mind2 <= ub[:, None])
+        return ci + sl.start, pi_
+
+    slices = [slice(s, min(s + 2048, len(qid))) for s in range(0, len(qid), 2048)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        parts = list(pool.map(plan_chunk, slices))
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
+
+
+
 def knn_on_index(index_path: str, queries: pa.Table, k: int):
     """Shuffle-free exact kNN over a BUILT index: plan on the manifest
     (same proven bounds as ops.indexed_knn), read ONLY candidate cell
@@ -223,31 +261,21 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
     qid = queries.column("qid").to_numpy()
     qx = queries.column("x").to_numpy()
     qy = queries.column("y").to_numpy()
-    dx = np.clip(qx[:, None], plo[None, :, 0], pup[None, :, 0]) - qx[:, None]
-    dy = np.clip(qy[:, None], plo[None, :, 1], pup[None, :, 1]) - qy[:, None]
-    mind2 = dx * dx + dy * dy
-    fx = np.maximum(np.abs(qx[:, None] - plo[None, :, 0]), np.abs(qx[:, None] - pup[None, :, 0]))
-    fy = np.maximum(np.abs(qy[:, None] - plo[None, :, 1]), np.abs(qy[:, None] - pup[None, :, 1]))
-    maxd2 = fx * fx + fy * fy
-    order = np.argsort(mind2, axis=1, kind="stable")
-    csum = np.cumsum(counts[order], axis=1)
-    if total <= k:
-        ub = np.full(len(qid), np.inf)
-    else:
-        first_ge = np.argmax(csum >= min(k, total), axis=1)
-        prefix_max = np.maximum.accumulate(np.take_along_axis(maxd2, order, axis=1), axis=1)
-        ub = prefix_max[np.arange(len(qid)), first_ge]
-    qi, pi = np.nonzero(mind2 <= ub[:, None])
-    # broadcast: cell -> its routed queries
-    routed: dict[int, list] = {}
-    for q_row, p_row in zip(qi, pi):
-        routed.setdefault(int(cids[p_row]), []).append(q_row)
-    routed_np = {
-        c: (qid[rows], qx[rows], qy[rows]) for c, rows in
-        ((c, np.asarray(r, dtype=np.int64)) for c, r in routed.items())
-    }
-    rref = ray.put(routed_np)
-    touched = sorted(routed_np)
+    qi, pi = _plan_knn_routes(qid, qx, qy, plo, pup, counts, total, k)
+
+    # broadcast: FLAT arrays sorted by cell (zero-copy plasma reads; a
+    # dict of many small per-cell arrays would be re-pickled per task)
+    r_cells = cids[pi]
+    order = np.argsort(r_cells, kind="stable")
+    rref = ray.put(
+        {
+            "cells": np.ascontiguousarray(r_cells[order]),
+            "qid": np.ascontiguousarray(qid[qi][order]),
+            "x": np.ascontiguousarray(qx[qi][order]),
+            "y": np.ascontiguousarray(qy[qi][order]),
+        }
+    )
+    touched = sorted(set(np.unique(r_cells).tolist()))
     if not touched:
         import pandas as pd
 
@@ -269,13 +297,17 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
 
         for gi in range(len(bnd) - 1):
             rows = ordr[bnd[gi] : bnd[gi + 1]]
-            q = rt.get(int(cs[bnd[gi]]))
-            if q is None:
+            cell = int(cs[bnd[gi]])
+            s0 = np.searchsorted(rt["cells"], cell, side="left")
+            s1 = np.searchsorted(rt["cells"], cell, side="right")
+            if s1 == s0:
                 continue
             # ascending-id columns => deterministic (d2, id) ties
             io = np.argsort(ids[rows], kind="stable")
             rows = rows[io]
-            gqid, gqx, gqy = q
+            gqid = rt["qid"][s0:s1]
+            gqx = rt["x"][s0:s1]
+            gqy = rt["y"][s0:s1]
             kk = min(k, len(rows))
             for s in range(0, len(gqid), 64):
                 sqx = gqx[s : s + 64][:, None]
