@@ -125,15 +125,23 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
 
         return f
 
-    l_schema = lt.schema()
-    r_schema = rt.schema()
-    l_missing = [(n, r_schema.types[r_schema.names.index(n)])
-                 for n in r_schema.names if n not in l_schema.names]
-    r_missing = [(n, l_schema.types[l_schema.names.index(n)])
-                 for n in l_schema.names if n not in r_schema.names]
+    # expected tagged schemas, derived from the INPUT schemas (an empty
+    # side's post-map schema is unknown — Ray skips UDFs on empty data)
+    meta_fields = [("__key", pa.int64()), ("__ts", pa.int64()),
+                   ("__side", pa.int8()), ("__bucket", pa.int64())]
+    lsch = left_ds.schema()
+    rsch = right_ds.schema()
+    l_fields = dict(meta_fields)
+    for n in left_cols:
+        l_fields[n] = lsch.types[lsch.names.index(n)]
+    r_fields = dict(meta_fields)
+    for n in right_cols:
+        r_fields[n] = rsch.types[rsch.names.index(n)]
+    l_missing = [(n, t) for n, t in r_fields.items() if n not in l_fields]
+    r_missing = [(n, t) for n, t in l_fields.items() if n not in r_fields]
     lt = lt.map_batches(pad(l_missing, None), batch_format="pyarrow", batch_size=None)
     rt = rt.map_batches(pad(r_missing, None), batch_format="pyarrow", batch_size=None)
-    all_names = sorted(set(l_schema.names) | set(r_schema.names))
+    all_names = sorted(set(l_fields) | set(r_fields))
     lt = lt.select_columns(all_names)
     rt = rt.select_columns(all_names)
     both = lt.union(rt)

@@ -11,6 +11,56 @@ from geograft import eventops as E
 from geograft.io import read_parquet_sized
 
 
+def test_asof_mixed_resolution_timestamps(ray_session):
+    """right side at DATE resolution joins correctly against a
+    microsecond left side (regression: un-normalized casts compared
+    seconds to micros and matched everything)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({
+        "eid": [1, 2, 3],
+        "k": [7, 7, 7],
+        "ts": pa.array([1_700_000_000_000_000, 1_700_200_000_000_000,
+                        1_600_000_000_000_000], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k2": [7, 7],
+        "d": pa.array([int(1_700_000_000_000_000 // 86_400_000_000) - 1,
+                       int(1_700_000_000_000_000 // 86_400_000_000) + 1],
+                      type=pa.int32()).cast(pa.date32()),
+        "tag": [100, 200],
+    })
+    out = E.asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_key="k", right_key="k2", left_ts="ts", right_ts="d",
+        right_cols=["tag"],
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    # eid1: only the earlier date precedes it -> 100
+    # eid2: both dates precede (day+1 < ts2) -> 200
+    # eid3: far in the past -> no match (NaN)
+    assert out.loc[0, "tag"] == 100
+    assert out.loc[1, "tag"] == 200
+    assert pd.isna(out.loc[2, "tag"])
+
+
+def test_asof_empty_right_side(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({"eid": [1], "k": [5],
+                     "ts": pa.array([10**15], type=pa.int64())})
+    right = pa.table({"k2": pa.array([], type=pa.int64()),
+                      "d": pa.array([], type=pa.int64()),
+                      "tag": pa.array([], type=pa.int64())})
+    out = E.asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_key="k", right_key="k2", left_ts="ts", right_ts="d",
+        right_cols=["tag"],
+    ).to_pandas()
+    assert len(out) == 1 and pd.isna(out["tag"].iloc[0])
+
+
 def test_asof_join_vs_duckdb(ray_session, sf_small):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_small}/events.parquet')")
