@@ -154,6 +154,49 @@ def test_spatial_join_vs_sql(ray_session, con, sf_small):
     assert len(got) > 0
 
 
+def test_spatial_join_cell_boundary_alignment(ray_session):
+    """Geometries whose corners sit EXACTLY on grid-cell boundaries must
+    still produce an exactly-once pair set (owner-cell rule's sharpest
+    corner: floor() at the boundary must agree between replication and
+    owner assignment)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import grid as G
+
+    bounds = G.Bounds(0, 0, 1, 1)
+    level = 3  # cell width 0.125
+    step = 0.125
+    rng = np.random.default_rng(4)
+    # grid-aligned rects (corners on boundaries) + jittered ones
+    ax = np.concatenate([np.arange(8) * step, rng.uniform(0, 0.9, 40)])
+    ay = np.concatenate([np.arange(8) * step, rng.uniform(0, 0.9, 40)])
+    a_lo = np.c_[ax, ay]
+    a_hi = a_lo + step  # spans exactly one cell-width
+    bx = np.concatenate([np.arange(8) * step + step / 2, rng.uniform(0, 0.9, 40)])
+    by = np.concatenate([np.arange(8) * step + step / 2, rng.uniform(0, 0.9, 40)])
+    b_lo = np.c_[bx, by]
+    b_hi = b_lo + 2 * step  # spans multiple cells
+
+    left = pa.table({"id": np.arange(len(ax), dtype=np.int64),
+                     "minx": a_lo[:, 0], "miny": a_lo[:, 1],
+                     "maxx": a_hi[:, 0], "maxy": a_hi[:, 1]})
+    right = pa.table({"id": np.arange(len(bx), dtype=np.int64),
+                      "minx": b_lo[:, 0], "miny": b_lo[:, 1],
+                      "maxx": b_hi[:, 0], "maxy": b_hi[:, 1]})
+    out = ops.spatial_join(
+        rd.from_arrow(left), rd.from_arrow(right), level=level, bounds=bounds
+    ).to_pandas()
+    got = sorted(zip(out["left_id"], out["right_id"]))
+    want = []
+    for i in range(len(ax)):
+        hit = (a_lo[i, 0] <= b_hi[:, 0]) & (a_hi[i, 0] >= b_lo[:, 0]) & \
+              (a_lo[i, 1] <= b_hi[:, 1]) & (a_hi[i, 1] >= b_lo[:, 1])
+        want.extend((i, int(j)) for j in np.nonzero(hit)[0])
+    assert got == sorted(want), "exactly-once pair set on boundary-aligned input"
+    assert len(got) == len(want)
+
+
 def test_drain_split(ray_session, con, sf_small):
     q = (5.0, 10.0, 20.0, 40.0)
     drained, surviving = ops.drain_in_envelope(FX.points_ds(sf_small), *q)
