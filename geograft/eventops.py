@@ -93,6 +93,16 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     from .ops import coarse_bucket_ids
     from . import textops as T
 
+    left_cols = [c for c in left_ds.schema().names]
+    # a right column sharing a left column's name would be silently
+    # shadowed by pd.merge_asof's suffix renaming — refuse up front
+    clash = set(right_cols) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns; "
+            "rename the right side before joining"
+        )
+
     def tag(side: int, key: str, ts: str, keep: list[str]):
         def f(b: pa.Table) -> pa.Table:
             k = b.column(key).to_numpy()
@@ -108,7 +118,6 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
 
         return f
 
-    left_cols = [c for c in left_ds.schema().names]
     lt = left_ds.map_batches(
         tag(0, left_key, left_ts, left_cols), batch_format="pyarrow", batch_size=None
     )
@@ -146,22 +155,39 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     rt = rt.select_columns(all_names)
     both = lt.union(rt)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0].sort_values("__ts", kind="stable")
-        rg = g[g["__side"] == 1].sort_values("__ts", kind="stable")
-        lg = lg[[*left_cols, "__key", "__ts"]]
-        rg = rg[[*right_cols, "__key", "__ts"]]
+    out_fields = [(c, l_fields[c]) for c in left_cols] + \
+                 [(c, r_fields[c]) for c in right_cols]
+
+    def _empty_out() -> pa.Table:
+        return pa.table({c: pa.array([], type=t) for c, t in out_fields})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        """Sides are split WHILE STILL ARROW: a mixed-side pandas
+        conversion would promote int64-with-nulls (the union's padding)
+        to float64 and corrupt exact integer columns. Each side converts
+        separately (no nulls in its own columns), and the merged output
+        is cast back to the input Arrow types — NaN from unmatched left
+        rows becomes a proper null, not a float."""
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return _empty_out()
+        side = g.column("__side").to_numpy()
+        lg = g.filter(pa.array(side == 0)).select(
+            ["__key", "__ts", *left_cols]).to_pandas()
         if len(lg) == 0:
-            return lg.drop(columns=["__key", "__ts"]).assign(
-                **{c: pd.Series([], dtype=rg[c].dtype) for c in right_cols}
-            )
+            return _empty_out()
+        rg = g.filter(pa.array(side == 1)).select(
+            ["__key", "__ts", *right_cols]).to_pandas()
+        lg = lg.sort_values("__ts", kind="stable")
+        rg = rg.sort_values("__ts", kind="stable")
         merged = pd.merge_asof(
             lg, rg, on="__ts", by="__key", direction="backward",
-            suffixes=("", "__r"),
         )
-        return merged.drop(columns=["__key", "__ts"])
+        return pa.table(
+            {c: pa.array(merged[c], type=t, from_pandas=True)
+             for c, t in out_fields}
+        )
 
-    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,

@@ -114,3 +114,47 @@ def test_asof_join_vs_duckdb(ray_session, sf_small):
                  WHERE e2.event_id = {e} AND epoch_us(o.o_orderdate) = m.mts
             """).fetchall()[0][0]
             assert ties > 1, f"event {e}: mismatch not explained by a date tie"
+
+
+def test_asof_preserves_int_dtype_with_unmatched_lefts(ray_session):
+    """Regression (round-1 red row): the union's null padding must not
+    promote exact int64 LEFT columns to float64 in the output."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({
+        "eid": pa.array([1, 2], type=pa.int64()),
+        "k": [5, 5],
+        "ts": pa.array([100, 200], type=pa.int64()),
+    })
+    right = pa.table({
+        "k2": [5],
+        "d": pa.array([150], type=pa.int64()),
+        "tag": pa.array([9], type=pa.int64()),
+    })
+    out = E.asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_key="k", right_key="k2", left_ts="ts", right_ts="d",
+        right_cols=["tag"],
+    )
+    import ray
+    tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs())
+                            if t.num_rows > 0])
+    assert tbl.schema.field("eid").type == pa.int64()
+    assert tbl.schema.field("tag").type == pa.int64()
+    df = tbl.to_pandas().sort_values("eid").reset_index(drop=True)
+    assert pd.isna(df.loc[0, "tag"]) and df.loc[1, "tag"] == 9
+
+
+def test_asof_rejects_colliding_right_cols(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({"eid": [1], "k": [5], "ts": [100], "tag": [1]})
+    right = pa.table({"k2": [5], "d": [50], "tag": [9]})
+    with pytest.raises(ValueError, match="collide"):
+        E.asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", right_key="k2", left_ts="ts", right_ts="d",
+            right_cols=["tag"],
+        )
