@@ -55,9 +55,16 @@ def cosine_topk(ds, query_vecs: np.ndarray, k: int,
                              "cos": pa.array([], type=pa.float64())})
         m = _normalize(_emb_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy()
+        # pre-sort rows by id so the shared stable top-k kernel breaks
+        # exact-cosine ties (duplicate embeddings) by smallest id — the
+        # documented (qid, -cos, vec_id) contract
+        rid = np.argsort(ids, kind="stable")
+        ids, m = ids[rid], m[rid]
         sims = m @ qm.T                      # (n, Q)
         kk = min(k, n)
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        from .ops import _topk_rows_per_col
+
+        part = _topk_rows_per_col(-sims, kk)
         return pa.table(
             {
                 "qid": np.repeat(np.arange(qm.shape[0], dtype=np.int64), kk),

@@ -198,12 +198,18 @@ def cell_min_dist2(cell_id, qx: float, qy: float, bounds: Bounds = UNIT) -> np.n
 
 
 def children(cell_id: np.ndarray) -> np.ndarray:
-    """The 4 child cells (one level finer) of each cell."""
+    """The 4 child cells (one level finer) of each cell. Levels are
+    computed PER ROW so mixed-level inputs (which adaptive skew splits
+    produce) each get their own child level."""
     cx, cy, level = unpack(np.atleast_1d(cell_id))
+    child_lvl = (level + 1).astype(np.uint64)
+    if np.any(level + 1 > MAX_LEVEL):
+        raise ValueError(f"child level would exceed MAX_LEVEL {MAX_LEVEL}")
     out = []
     for dx in (0, 1):
         for dy in (0, 1):
-            out.append(pack(cx * 2 + dx, cy * 2 + dy, int(level[0]) + 1))
+            morton = _part1by1(cx * 2 + dx) | (_part1by1(cy * 2 + dy) << np.uint64(1))
+            out.append((morton | (child_lvl << np.uint64(_LEVEL_SHIFT))).astype(np.int64))
     return np.concatenate(out)
 
 

@@ -114,7 +114,24 @@ def parse_geo_spans(batch: pa.Table) -> pa.Table:
     shape = pc.list_element(parts, 0)
     args = pc.utf8_rtrim(pc.list_element(parts, 1), ")")
     nums = pc.split_pattern(args, " ")
+    if isinstance(nums, pa.ChunkedArray):
+        nums = nums.combine_chunks()
     lens = pc.list_value_length(nums).to_numpy()
+    # a span whose shape word is unknown or whose arg count doesn't
+    # match its arity would leave coordinates uninitialized (or crash
+    # the kind lookup) — drop it, like parse_poly_spans does
+    is_point = pc.equal(shape, "POINT").to_numpy(zero_copy_only=False)
+    is_rect = pc.equal(shape, "RECT").to_numpy(zero_copy_only=False)
+    is_line = pc.equal(shape, "LINE").to_numpy(zero_copy_only=False)
+    ok = (is_point & (lens == 2)) | ((is_rect | is_line) & (lens == 4))
+    if not ok.all():
+        keep = pa.array(ok)
+        geo = geo.filter(keep)
+        if len(geo) == 0:
+            return _empty_geom_table()
+        nums = nums.filter(keep)
+        lens = lens[ok]
+        is_point, is_rect = is_point[ok], is_rect[ok]
     vals = pc.cast(pc.list_flatten(nums), pa.float64()).to_numpy()
 
     n = len(geo)
@@ -135,7 +152,7 @@ def parse_geo_spans(batch: pa.Table) -> pa.Table:
     x1[is4] = vals[starts[is4] + 2]
     y1[is4] = vals[starts[is4] + 3]
 
-    gk = np.asarray([_SHAPE_TO_KIND[s] for s in shape.to_pylist()])
+    gk = np.where(is_point, "point", np.where(is_rect, "rect", "line"))
     minx = np.minimum(x0, x1)
     maxx = np.maximum(x0, x1)
     miny = np.minimum(y0, y1)

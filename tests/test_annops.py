@@ -71,3 +71,25 @@ def test_embedding_neardup_sound(ray_session, sf_small, emb_np):
     for r in got.itertuples():
         assert sims[pos[r.a], pos[r.b]] >= 0.9  # soundness: exact cosine
         assert r.a < r.b
+
+
+def test_cosine_topk_tie_break_by_id(ray_session):
+    """Exact-duplicate embeddings tying at the k-th slot must resolve to
+    the smallest ids — the (qid, -cos, vec_id) contract."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import annops as A
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    vecs = [rng.standard_normal(8) * 0.1 - base for _ in range(10)]
+    vecs += [base.copy() for _ in range(5)]  # ids 10..14 all tie at cos=1
+    tbl = pa.table({
+        "vec_id": np.arange(15, dtype=np.int64),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float64())),
+    })
+    out = A.cosine_topk(rd.from_arrow(tbl), base, k=3)
+    assert out["vec_id"].tolist() == [10, 11, 12]

@@ -96,3 +96,23 @@ def test_children_parent(rng):
     kminx, kminy, kmaxx, kmaxy = G.cell_envelope(kids)
     assert kminx.min() == pminx[0] and kmaxx.max() == pmaxx[0]
     assert kminy.min() == pminy[0] and kmaxy.max() == pmaxy[0]
+
+
+def test_children_mixed_levels():
+    """children() must compute the child level PER ROW — mixed-level
+    inputs coexist under adaptive skew splitting."""
+    import numpy as np
+
+    from geograft import grid as G
+
+    a = G.pack(np.array([1]), np.array([2]), 3)
+    b = G.pack(np.array([0]), np.array([1]), 5)
+    kids = G.children(np.concatenate([a, b]))
+    cx, cy, lvl = G.unpack(kids)
+    # two parents x 4 children, interleaved parent-major per (dx, dy)
+    assert sorted(lvl.tolist()) == [4, 4, 4, 4, 6, 6, 6, 6]
+    for k, want_lvl, pcx, pcy in [(0, 4, 1, 2), (1, 6, 0, 1)]:
+        m = lvl == want_lvl
+        assert set(zip(cx[m].tolist(), cy[m].tolist())) == {
+            (pcx * 2 + dx, pcy * 2 + dy) for dx in (0, 1) for dy in (0, 1)
+        }

@@ -92,3 +92,32 @@ def test_extract_geometries_dataset(ray_session, sf_small):
     assert out.count() == events.num_rows
     s = out.schema()
     assert set(ops.ENV_COLS) <= set(s.names)
+
+
+def test_parse_geo_spans_drops_malformed_and_unknown_shapes():
+    """Malformed arity ('POINT(1.0)') and unknown shape words ('POLY(...)'
+    tagged kind='geo') must be dropped, not emit garbage coordinates or
+    crash the kind lookup (round-1 advice regression)."""
+    import pyarrow as pa
+
+    from geograft import ops
+
+    rows = pa.table({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "span_idx": pa.array([0, 0, 0, 0, 0], type=pa.int32()),
+        "kind": ["geo"] * 5,
+        "text": [
+            "POINT(1.5 2.5)",          # valid
+            "POINT(1.0)",              # arity mismatch -> drop
+            "POLY(0 0 1 0 0 1)",       # unknown shape for geo parser -> drop
+            "RECT(0 0 2 2)",           # valid
+            "LINE(0 0 1)",             # arity mismatch -> drop
+        ],
+        "media_ref": [""] * 5,
+        "offset": pa.array([0] * 5, type=pa.int64()),
+    })
+    out = ops.parse_geo_spans(rows)
+    assert out.column("doc_id").to_pylist() == ["a", "d"]
+    assert out.column("geom_kind").to_pylist() == ["point", "rect"]
+    assert out.column("x0").to_pylist() == [1.5, 0.0]
+    assert out.column("maxx").to_pylist() == [1.5, 2.0]
