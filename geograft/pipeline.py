@@ -57,17 +57,22 @@ def assign_adaptive_cells(batch: pa.Table, base_level: int,
     y = batch.column("miny").to_numpy()
     cid = G.owner_cell(x, y, base_level, bounds)
     if hot_map:
+        # sorted-lookup (searchsorted), not a per-row dict probe: hot
+        # cells are by definition the cells with the MOST rows, so this
+        # path sees the bulk of a skewed table
         hot_ids = np.fromiter(hot_map.keys(), dtype=np.int64)
-        mask = np.isin(cid, hot_ids)
+        hot_lvls = np.fromiter(hot_map.values(), dtype=np.int64)
+        order = np.argsort(hot_ids)
+        hot_ids, hot_lvls = hot_ids[order], hot_lvls[order]
+        pos = np.searchsorted(hot_ids, cid)
+        pos_c = np.minimum(pos, len(hot_ids) - 1)
+        mask = hot_ids[pos_c] == cid
         if mask.any():
-            sub = cid[mask]
-            fine = np.empty(len(sub), dtype=np.int64)
-            for lvl in sorted({v for v in hot_map.values()}):
-                m2 = np.fromiter(
-                    (hot_map[int(c)] == lvl for c in sub), dtype=bool, count=len(sub)
-                )
-                if m2.any():
-                    fine[m2] = G.owner_cell(x[mask][m2], y[mask][m2], lvl, bounds)
+            sub_lvls = hot_lvls[pos_c[mask]]
+            fine = np.empty(int(mask.sum()), dtype=np.int64)
+            for lvl in np.unique(sub_lvls):
+                m2 = sub_lvls == lvl
+                fine[m2] = G.owner_cell(x[mask][m2], y[mask][m2], int(lvl), bounds)
             cid[mask] = fine
     return batch.append_column("cell_id", pa.array(cid))
 
@@ -377,27 +382,48 @@ def ingest_delta(path: str, delta_ds) -> dict:
         batch_size=None,
     )
 
-    def merge_cell(group: pa.Table) -> pd.DataFrame:
-        cid = int(group.column("cell_id")[0].as_py())
-        fname = os.path.join(path, f"part-{cid}.parquet")
-        if os.path.exists(fname):
-            old = pq.read_table(fname)
-            group = pa.concat_tables([old, group.select(old.column_names)])
-        t0 = time.perf_counter()
-        tmp = fname + ".tmp"
-        pq.write_table(group, tmp)
-        os.replace(tmp, fname)
-        return pd.DataFrame(
-            {"cell_id": [cid], "rows": [len(group)],
-             "bytes": [os.path.getsize(fname)],
-             "wall_ms": [round((time.perf_counter() - t0) * 1e3, 2)],
-             "minx": [group.column("minx").to_numpy().min()],
-             "miny": [group.column("miny").to_numpy().min()],
-             "maxx": [group.column("maxx").to_numpy().max()],
-             "maxy": [group.column("maxy").to_numpy().max()]}
-        )
+    def merge_bucket(group: pa.Table) -> pd.DataFrame:
+        """Merge every touched cell co-located in this coarse bucket —
+        one Python call per BUCKET, cells sub-grouped vectorized (the
+        per-key map_groups trap costs one Ray round-trip per cell)."""
+        if len(group) == 0 or "cell_id" not in group.column_names:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in
+                 [("cell_id", np.int64), ("rows", np.int64), ("bytes", np.int64),
+                  ("wall_ms", float), ("minx", float), ("miny", float),
+                  ("maxx", float), ("maxy", float)]}
+            )
+        if "__cg" in group.column_names:
+            group = group.drop_columns(["__cg"])
+        cells = group.column("cell_id").to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+        out: list[dict] = []
+        for gi in range(len(bnd) - 1):
+            rows_idx = order[bnd[gi] : bnd[gi + 1]]
+            cid = int(cs[bnd[gi]])
+            t0 = time.perf_counter()
+            part = group.take(pa.array(rows_idx))
+            fname = os.path.join(path, f"part-{cid}.parquet")
+            if os.path.exists(fname):
+                old = pq.read_table(fname)
+                part = pa.concat_tables([old, part.select(old.column_names)])
+            tmp = fname + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, fname)
+            out.append({
+                "cell_id": cid, "rows": len(part),
+                "bytes": os.path.getsize(fname),
+                "wall_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                "minx": part.column("minx").to_numpy().min(),
+                "miny": part.column("miny").to_numpy().min(),
+                "maxx": part.column("maxx").to_numpy().max(),
+                "maxy": part.column("maxy").to_numpy().max(),
+            })
+        return pd.DataFrame(out)
 
-    stats = keyed.groupby("cell_id").map_groups(merge_cell, batch_format="pyarrow").to_pandas()
+    stats = ops.coarse_group_by_cell(keyed, merge_bucket).to_pandas()
     for r in stats.itertuples():
         man["partitions"][str(int(r.cell_id))] = {
             "file": f"part-{int(r.cell_id)}.parquet",

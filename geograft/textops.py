@@ -75,25 +75,34 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
 # token counting / quality metrics (SQL-oracle-able, exact)
 # --------------------------------------------------------------------------
 
+def _count_re(txt, pattern: str) -> np.ndarray:
+    """Columnar non-overlapping regex match count per string (int64,
+    null -> 0). Replaces pandas .str.count, which routes every row
+    through a Python object."""
+    return (
+        pc.fill_null(pc.count_substring_regex(txt, pattern), 0)
+        .cast(pa.int64())
+        .to_numpy()
+    )
+
+
 def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Whitespace token count + exact char metrics per doc."""
+    """Whitespace token count + exact char metrics per doc — all
+    pyarrow.compute kernels, no per-row Python."""
 
     def f(b: pa.Table) -> pa.Table:
-        s = pd.Series(b.column(text_col).to_pylist())
-        n_tokens = s.str.split().str.len().fillna(0).astype(np.int64)
-        n_chars_q = s.str.len().astype(np.int64)
-        n_digits = s.str.count(r"[0-9]").astype(np.int64)
-        n_alpha = s.str.count(r"[a-z]").astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            alpha_ratio = np.where(
-                n_chars_q > 0, n_alpha.to_numpy() / n_chars_q.to_numpy(), 0.0
-            )
+        txt = b.column(text_col)
+        n_tokens = _count_re(txt, r"[^\s]+")
+        n_chars_q = pc.fill_null(pc.utf8_length(txt), 0).cast(pa.int64()).to_numpy()
+        n_digits = _count_re(txt, "[0-9]")
+        n_alpha = _count_re(txt, "[a-z]")
+        alpha_ratio = np.where(n_chars_q > 0, n_alpha / np.maximum(n_chars_q, 1), 0.0)
         return pa.table(
             {
                 id_col: b.column(id_col),
-                "n_tokens": n_tokens.to_numpy(),
-                "n_chars_q": n_chars_q.to_numpy(),
-                "n_digits": n_digits.to_numpy(),
+                "n_tokens": n_tokens,
+                "n_chars_q": n_chars_q,
+                "n_digits": n_digits,
                 "alpha_ratio": alpha_ratio,
             }
         )
@@ -110,21 +119,15 @@ BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 def bpe_token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     """BPE-ish token counts per doc: words, numbers, punctuation runs —
     the pre-tokenization granularity a byte-pair encoder consumes."""
-    import re
-
-    pat = re.compile(BPE_PATTERN)
 
     def f(b: pa.Table) -> pa.Table:
-        s = pd.Series(b.column(text_col).to_pylist())
-        n_bpe = s.str.count(BPE_PATTERN).fillna(0).astype(np.int64)
-        n_word = s.str.count(r"[a-zA-Z]+").fillna(0).astype(np.int64)
-        n_num = s.str.count(r"[0-9]+").fillna(0).astype(np.int64)
+        txt = b.column(text_col)
         return pa.table(
             {
                 id_col: b.column(id_col),
-                "n_bpe": n_bpe.to_numpy(),
-                "n_word": n_word.to_numpy(),
-                "n_num": n_num.to_numpy(),
+                "n_bpe": _count_re(txt, BPE_PATTERN),
+                "n_word": _count_re(txt, "[a-zA-Z]+"),
+                "n_num": _count_re(txt, "[0-9]+"),
             }
         )
 
@@ -149,22 +152,36 @@ class LangId:
     """
 
     def __init__(self):
-        import re
-
-        self.token = re.compile(r"[a-zA-Z']+")
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        # stable 64-bit hashes of each language's stopword table: the
+        # per-token membership test becomes one vectorized np.isin over
+        # hashed tokens per language (a fasttext model would load here)
+        self.langs = np.asarray(list(_STOPWORDS))
+        self.tables = [
+            np.sort(_stable_hash(pa.array(sorted(ws))))
+            for ws in _STOPWORDS.values()
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = []
-        for t in texts:
-            toks = self.token.findall(t.lower()) if t else []
-            best, best_hits = "unknown", 0
-            for lang, table in self.tables.items():
-                hits = sum(1 for w in toks if w in table)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        low = pc.utf8_lower(txt)
+        # tokens = maximal [a-zA-Z'] runs: split on the complement, drop
+        # edge empties; per-doc counts from the equivalent regex count
+        lens = _count_re(low, "[a-zA-Z']+")
+        toks = pc.list_flatten(pc.split_pattern_regex(low, "[^a-zA-Z']+"))
+        if len(toks):
+            toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        n = len(batch)
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(toks):
+            th = _stable_hash(toks)
+            doc_idx = np.repeat(np.arange(n), lens)
+            for li, table in enumerate(self.tables):
+                m = np.isin(th, table)
+                hits[:, li] = np.bincount(doc_idx[m], minlength=n)
+        best = hits.argmax(axis=1)
+        langs = np.where(hits.max(axis=1) > 0, self.langs[best], "unknown")
         return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(langs)})
 
 
@@ -173,21 +190,29 @@ def lang_id(ds, concurrency: int = 2):
                           concurrency=concurrency)
 
 
+def _flat_tokens(txt) -> tuple[np.ndarray, "pa.Array"]:
+    """(per-doc token count, flattened tokens) with Python str.split()
+    semantics (whitespace runs, no empties) — columnar: Arrow split +
+    flatten + empty filter, never a Python loop over tokens."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lens = _count_re(txt, r"[^\s]+")
+    flat = pc.list_flatten(pc.utf8_split_whitespace(txt))
+    if len(flat):
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+    return lens, flat
+
+
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Order-sensitive document fingerprint: polynomial rolling hash of
     the token-hash sequence (Rabin-Karp over tokens, mod 2^61-1).
     Deterministic across processes; swapping two tokens changes it."""
 
     def f(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col)
-        # explode tokens while keeping doc offsets, hash tokens stably
-        s = pd.Series(texts.to_pylist()).str.split()
-        lens = s.str.len().fillna(0).astype(np.int64).to_numpy()
-        flat = [w for row in s for w in (row or [])]
+        lens, flat = _flat_tokens(b.column(text_col))
         fp = np.zeros(len(lens), dtype=np.uint64)
-        if flat:
-            th = _stable_hash(pa.array(flat)) % _MERSENNE
-            doc_idx = np.repeat(np.arange(len(lens)), lens)
+        if len(flat):
+            th = _stable_hash(flat) % _MERSENNE
             base = np.uint64(1000003)
             # sequential fold per doc: fp = fp*base + h (vectorized over
             # docs at each token position)
@@ -345,13 +370,11 @@ def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
     sign gives the bit. Near-identical docs differ in few bits."""
 
     def f(b: pa.Table) -> pa.Table:
-        s = pd.Series(b.column(text_col).to_pylist()).str.split()
-        lens = s.str.len().fillna(0).astype(np.int64).to_numpy()
+        lens, flat = _flat_tokens(b.column(text_col))
         n = len(lens)
         acc = np.zeros((n, 64), dtype=np.int64)
-        flat = [w for row in s for w in (row or [])]
-        if flat:
-            th = _stable_hash(pa.array(flat))
+        if len(flat):
+            th = _stable_hash(flat)
             bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
             contrib = 2 * bits - 1
             doc_idx = np.repeat(np.arange(n), lens)
