@@ -270,9 +270,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def embedding_neardup(sf):
         # fixture embeddings are near-random (max off-diag cosine ~0.51),
-        # so use a threshold that actually surfaces the closest pairs
+        # so use a threshold that actually surfaces the closest pairs;
+        # sign-LSH collision probability at cos 0.45 is only ~0.65 per
+        # bit, so recall needs FEW planes x MANY bands at this threshold
+        # (production near-dup at cos>=0.95 uses the wider default)
         return A.embedding_neardup(
-            read_parquet_sized(f"{sf}/embeddings.parquet"), threshold=0.45
+            read_parquet_sized(f"{sf}/embeddings.parquet"), threshold=0.45,
+            n_planes=4, n_bands=16,
         )
 
     def poly_contains(sf):

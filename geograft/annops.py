@@ -178,41 +178,71 @@ def cosine_topk_lsh(ds, query_vecs: np.ndarray, k: int,
 
 def embedding_neardup(ds, threshold: float = 0.95,
                       id_col: str = "vec_id", emb_col: str = "embedding",
-                      n_planes: int = 6):
-    """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors,
-    exact pairwise cosine within each bucket, keep cos >= threshold.
-    Sound (exact cosine on every reported pair); recall from bucketing."""
-    planes_holder = {}
+                      n_planes: int = 12, n_bands: int = 4, seed: int = 11):
+    """Embedding-cosine near-duplicate pairs — banded sign-LSH:
+
+    Each vector gets ``n_bands`` independent ``n_planes``-bit sign
+    signatures (ids only ride the shuffle, never the vectors);
+    same-(band, signature) rows become candidate pairs via one
+    vectorized self-merge per coarse partition; globally deduped on a
+    pair-hash key; then verified with EXACT cosine in one join stage
+    against the embeddings table. Sound (exact cosine on every
+    reported pair); recall grows with n_bands and is tested against
+    brute force. Bucket population is bounded by 2^n_planes per band —
+    size n_planes to log2(N / target_bucket_rows) at scale.
+    """
+    from . import textops as T
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, emb_col))
-        if "p" not in planes_holder:
-            planes_holder["p"] = _hyperplanes(m.shape[1], n_planes)
-        b = lsh_bucket_ids(m, planes_holder["p"])
+        ids = batch.column(id_col).to_numpy()
         n = len(batch)
-        flat = m.reshape(-1)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "bucket": b,
-                "vec": pa.FixedSizeListArray.from_arrays(pa.array(flat), m.shape[1]),
-            }
-        )
+        out_id = np.tile(ids, n_bands)
+        out_band = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        sigs = np.concatenate([
+            lsh_bucket_ids(m, _hyperplanes(m.shape[1], n_planes, seed=seed + band))
+            for band in range(n_bands)
+        ])
+        coarse = (
+            sigs.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + out_band.astype(np.uint64)
+        ) % np.uint64(T.N_COARSE)
+        return pa.table({id_col: out_id, "band": out_band, "sig": sigs,
+                         "__bucket": coarse.astype(np.int64)})
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+    sig_ds = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "cos": pd.Series([], dtype=np.float64)})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
-        ai, bi = np.triu_indices(len(ids), 1)
-        keep = sims[ai, bi] >= threshold
-        return pd.DataFrame({"a": ids[ai[keep]], "b": ids[bi[keep]],
-                             "cos": sims[ai[keep], bi[keep]]})
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[id_col, "band", "sig"]]
+        m = g.merge(g, on=["band", "sig"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        a = out[f"{id_col}_a"].to_numpy(dtype=np.int64)
+        b = out[f"{id_col}_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"a": a, "b": b, "__pb": T._pair_bucket(a, b)})
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    pairs = sig_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    uniq = pairs.groupby("__pb").map_groups(dd, batch_format="pandas")
+
+    emb = ds.select_columns([id_col, emb_col])
+    with_a = T.attach_lookup(uniq, emb, "a", id_col, {"__va": emb_col})
+    with_b = T.attach_lookup(with_a, emb, "b", id_col, {"__vb": emb_col})
+
+    def fin(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        va = _normalize(_emb_matrix(b, "__va"))
+        vb = _normalize(_emb_matrix(b, "__vb"))
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        return pa.table({"a": b.column("a").to_numpy()[keep],
+                         "b": b.column("b").to_numpy()[keep],
+                         "cos": cos[keep]})
+
+    return with_b.map_batches(fin, batch_format="pyarrow", batch_size=None)

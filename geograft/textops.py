@@ -231,24 +231,53 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
 # shingles / minhash / simhash
 # --------------------------------------------------------------------------
 
-def _shingle_hashes(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_idx, shingle_hash) for DISTINCT k-gram shingles per doc.
-    Docs shorter than k tokens contribute their full token sequence."""
-    doc_idx, shingles = [], []
-    for i, t in enumerate(texts):
-        toks = t.split() if t else []
-        if len(toks) < k:
-            sh = {" ".join(toks)} if toks else set()
-        else:
-            sh = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
-        doc_idx.extend([i] * len(sh))
-        shingles.extend(sh)
-    if not shingles:
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime fold of token hashes
+
+
+def _shingle_hashes(txt, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, shingle_hash) for DISTINCT k-gram shingles per doc —
+    fully vectorized: flat token hashes + a k-slice rolling combine, no
+    Python loop over docs or tokens. A shingle's identity is its token
+    sequence (hash-combined), so equality matches the joined-string
+    definition the SQL oracles use. Docs shorter than k tokens
+    contribute their full token sequence as one shingle."""
+    lens, flat = _flat_tokens(txt)
+    n = len(lens)
+    if len(flat) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
-    return (
-        np.asarray(doc_idx, dtype=np.int64),
-        _stable_hash(pa.array(shingles)),
-    )
+    th = _stable_hash(flat)
+    starts = np.cumsum(lens) - lens
+    doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), lens)
+    off = np.arange(len(th), dtype=np.int64) - starts[doc_of_tok]
+    # full k-windows (docs with >= k tokens)
+    valid = (lens[doc_of_tok] >= k) & (off <= lens[doc_of_tok] - k)
+    p = np.nonzero(valid)[0]
+    h = th[p].copy()
+    for j in range(1, k):
+        h = h * _SHINGLE_BASE + th[p + j]
+    dd = [doc_of_tok[p]]
+    hh = [h]
+    # short docs: one shingle folding the whole token sequence
+    short = np.nonzero((lens > 0) & (lens < k))[0]
+    for length in np.unique(lens[short]):
+        docs_l = short[lens[short] == length]
+        s = starts[docs_l]
+        hs = th[s].copy()
+        for j in range(1, int(length)):
+            hs = hs * _SHINGLE_BASE + th[s + j]
+        dd.append(docs_l)
+        hh.append(hs)
+    doc_idx = np.concatenate(dd)
+    sh = np.concatenate(hh)
+    # DISTINCT (doc, shingle): lexsort + adjacent-dup drop
+    order = np.lexsort((sh, doc_idx))
+    doc_idx, sh = doc_idx[order], sh[order]
+    if len(doc_idx) > 1:
+        keep = np.empty(len(doc_idx), dtype=bool)
+        keep[0] = True
+        keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (sh[1:] != sh[:-1])
+        doc_idx, sh = doc_idx[keep], sh[keep]
+    return doc_idx, sh
 
 
 def _perm_params(n_perm: int = N_PERM, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -262,10 +291,9 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> pa.Table:
     """(doc_id, band, band_hash) rows: 64 minhash perms folded into 16
     band keys. One output row per (doc, band) — the LSH bucket keys."""
-    texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col)
-    doc_idx, sh = _shingle_hashes(texts, k)
-    n = len(texts)
+    doc_idx, sh = _shingle_hashes(batch.column(text_col), k)
+    n = len(batch)
     a, b = _perm_params()
     sig = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh):
@@ -290,39 +318,153 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text",
     )
 
 
-def _jaccard_exact(a: str, b: str, k: int = 3) -> float:
-    def sh(t):
-        toks = t.split() if t else []
-        if len(toks) < k:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+# --------------------------------------------------------------------------
+# distributed pair machinery: dedup, lookup join, exact verification
+# --------------------------------------------------------------------------
 
-    sa, sb = sh(a), sh(b)
-    if not sa and not sb:
-        return 1.0
-    inter = len(sa & sb)
-    return inter / (len(sa) + len(sb) - inter)
+def _pair_bucket(a: np.ndarray, b: np.ndarray,
+                 n_buckets: int = N_COARSE) -> np.ndarray:
+    h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
+                  attach: dict[str, str]):
+    """Distributed hash join: add columns from a lookup table to a row
+    stream by co-locating both sides on coarse hash(key) buckets — the
+    scale-safe replacement for a driver-broadcast dict (O(#keys) driver
+    state). ``attach`` maps output column -> lookup column. Inner
+    semantics: rows whose key is missing from the lookup are dropped.
+
+    Sides are split back apart while still Arrow inside each bucket so
+    the union's null padding can never promote exact integer columns
+    (same guard as eventops.asof_join).
+    """
+    row_schema = ds.schema()
+    row_types = dict(zip(row_schema.names, row_schema.types))
+    lk_schema = lookup_ds.schema()
+    lk_types = dict(zip(lk_schema.names, lk_schema.types))
+    row_cols = list(row_schema.names)
+    out_fields = [(c, row_types[c]) for c in row_cols] + \
+                 [(o, lk_types[c]) for o, c in attach.items()]
+    attach_items = sorted(attach.items())
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy()
+        out = {
+            "__k": pa.array(keys.astype(np.int64)),
+            "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
+            "__bucket": pa.array(
+                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(N_COARSE)).astype(np.int64)),
+        }
+        for c in row_cols:
+            out[c] = b.column(c)
+        for o, c in attach_items:
+            out[o] = pa.nulls(len(b), type=lk_types[c])
+        return pa.table(out)
+
+    def tag_lookup(b: pa.Table) -> pa.Table:
+        keys = b.column(lookup_key).to_numpy()
+        out = {
+            "__k": pa.array(keys.astype(np.int64)),
+            "__side": pa.array(np.ones(len(b), dtype=np.int8)),
+            "__bucket": pa.array(
+                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(N_COARSE)).astype(np.int64)),
+        }
+        for c in row_cols:
+            out[c] = pa.nulls(len(b), type=row_types[c])
+        for o, c in attach_items:
+            out[o] = b.column(c)
+        return pa.table(out)
+
+    all_names = ["__k", "__side", "__bucket", *row_cols,
+                 *[o for o, _ in attach_items]]
+    both = (
+        ds.map_batches(tag_rows, batch_format="pyarrow", batch_size=None)
+        .select_columns(all_names)
+        .union(
+            lookup_ds.map_batches(tag_lookup, batch_format="pyarrow", batch_size=None)
+            .select_columns(all_names)
+        )
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return pa.table({c: pa.array([], type=t) for c, t in out_fields})
+        side = g.column("__side").to_numpy()
+        rows = g.filter(pa.array(side == 0)).select(["__k", *row_cols]).to_pandas()
+        lk = g.filter(pa.array(side == 1)).select(
+            ["__k", *[o for o, _ in attach_items]]).to_pandas()
+        merged = rows.merge(lk, on="__k", how="inner")
+        return pa.table(
+            {c: pa.array(merged[c], type=t, from_pandas=True)
+             for c, t in out_fields}
+        )
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _exact_jaccard_cols(text_a, text_b, k: int = 3) -> np.ndarray:
+    """Row-wise exact k-gram Jaccard between two string columns —
+    vectorized over ALL pairs in the batch (shingle both columns flat,
+    count per-row intersections by sorted duplicate detection)."""
+    n = len(text_a)
+    da, ha = _shingle_hashes(text_a, k)
+    db, hb = _shingle_hashes(text_b, k)
+    sa = np.bincount(da, minlength=n)
+    sb = np.bincount(db, minlength=n)
+    cd = np.concatenate([da, db])
+    ch = np.concatenate([ha, hb])
+    order = np.lexsort((ch, cd))
+    cd, ch = cd[order], ch[order]
+    inter = np.zeros(n, dtype=np.int64)
+    if len(cd) > 1:
+        dup = (cd[1:] == cd[:-1]) & (ch[1:] == ch[:-1])
+        inter = np.bincount(cd[1:][dup], minlength=n)
+    union = sa + sb - inter
+    # both sides empty -> Jaccard 1.0 by convention
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Exact verification stage for candidate (a, b) pairs: attach both
+    texts via two coarse-bucket hash joins against the docs table (no
+    text ever rides the candidate shuffle, no driver state), then one
+    vectorized exact-Jaccard kernel + threshold filter."""
+    docs = docs_ds.select_columns([id_col, text_col])
+    with_a = attach_lookup(pairs_ds, docs, "a", id_col, {"__ta": text_col})
+    with_b = attach_lookup(with_a, docs, "b", id_col, {"__tb": text_col})
+
+    def fin(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        jac = _exact_jaccard_cols(b.column("__ta"), b.column("__tb"), k)
+        keep = jac >= tau
+        return pa.table({"a": b.column("a").to_numpy()[keep],
+                         "b": b.column("b").to_numpy()[keep],
+                         "jaccard": jac[keep]})
+
+    return with_b.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 def neardup_minhash(ds, tau: float = 0.8, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3):
     """MinHash-LSH near-duplicate pairs with exact verification.
 
-    shingle -> minhash -> band keys (map_batches) -> groupby(band,
-    band_hash) buckets -> candidate pairs -> exact Jaccard >= tau.
-    Reported pairs are SOUND (verified exactly); recall follows the
-    LSH banding curve. Texts needed for verification are carried
-    through the bucket shuffle; at 100 TB you would verify in a second
-    broadcast/join stage instead.
+    shingle -> minhash -> band keys (map_batches, IDS ONLY — document
+    text never enters the band shuffle) -> coarse (band, band_hash)
+    buckets -> vectorized candidate self-merge -> pair-hash-bucketed
+    global dedup -> exact-Jaccard verification joined against the docs
+    table. Reported pairs are SOUND (verified exactly); recall follows
+    the LSH banding curve (tested against brute force).
     """
     def sigs(b: pa.Table) -> pa.Table:
         s = minhash_signatures(b, text_col, id_col, k)
-        # carry text for in-bucket verification; coarse partition key
-        n = len(b)
-        texts = b.column(text_col).take(
-            pa.array(np.repeat(np.arange(n), N_BANDS))
-        )
-        s = s.append_column("text", texts)
         coarse = (
             s.column("band_hash").to_numpy().astype(np.uint64)
             * np.uint64(0x9E3779B97F4A7C15)
@@ -333,36 +475,26 @@ def neardup_minhash(ds, tau: float = 0.8, text_col: str = "text",
     sig_ds = ds.map_batches(sigs, batch_format="pyarrow", batch_size=None)
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # within a coarse partition: enumerate TRUE LSH buckets
-        # (band, band_hash) vectorized, then verify candidates exactly
-        out_a, out_b, out_j = [], [], []
-        seen: set[tuple[int, int]] = set()
-        texts_by_id = dict(zip(g[id_col], g["text"]))
-        for _, grp in g.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(grp[id_col].unique())
-            if len(ids) < 2:
-                continue
-            ai, bi = np.triu_indices(len(ids), 1)
-            for x, y in zip(ids[ai], ids[bi]):
-                key = (int(x), int(y))
-                if key in seen:
-                    continue
-                seen.add(key)
-                jac = _jaccard_exact(texts_by_id[x], texts_by_id[y], k)
-                if jac >= tau:
-                    out_a.append(x); out_b.append(y); out_j.append(jac)
-        return pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
-                             "b": np.asarray(out_b, dtype=np.int64),
-                             "jaccard": np.asarray(out_j, dtype=np.float64)})
+        """True LSH buckets live inside this coarse partition: one
+        vectorized self-merge on (band, band_hash) enumerates every
+        same-bucket pair; emits ids only, pre-keyed for global dedup."""
+        g = g[[id_col, "band", "band_hash"]]
+        m = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        a = out[f"{id_col}_a"].to_numpy(dtype=np.int64)
+        b = out[f"{id_col}_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"a": a, "b": b, "__pb": _pair_bucket(a, b)})
 
     pairs = sig_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
 
-    # the same pair can still surface from bands living in DIFFERENT
-    # coarse partitions -> one more tiny exact dedup (pairs are few)
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a", "b"])
+    # the same pair can surface from bands in DIFFERENT coarse
+    # partitions -> global dedup, coarse-bucketed on the pair hash
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
 
-    return pairs.groupby("a").map_groups(dedup, batch_format="pandas")
+    uniq = pairs.groupby("__pb").map_groups(dd, batch_format="pandas")
+    return verify_jaccard_pairs(uniq, ds, tau, k, text_col, id_col)
 
 
 def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -393,76 +525,98 @@ def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
 # --------------------------------------------------------------------------
 
 def jaccard_pairs_exact(ds, tau: float, k: int = 3,
-                        text_col: str = "text", id_col: str = "doc_id"):
-    """ALL pairs with k-gram Jaccard >= tau — exact, via a distributed
-    shingle inverted index: explode distinct shingles, groupby(shingle
-    hash) emits per-bucket doc pairs, groupby(pair) sums intersections,
-    sizes joined from a broadcast, final filter. The shuffle key is the
-    8-byte shingle hash. Exact counterpart of the probabilistic
-    neardup_minhash; its DuckDB oracle is the same algebra in SQL.
+                        text_col: str = "text", id_col: str = "doc_id",
+                        df_cap: int | None = None):
+    """ALL pairs with k-gram Jaccard >= tau via a distributed shingle
+    inverted index: explode distinct shingles (each row carrying its
+    doc's shingle-set size — no driver-side sizes broadcast),
+    groupby(shingle hash) emits per-bucket doc pairs, groupby(pair
+    hash) sums intersections and computes Jaccard in place. The shuffle
+    key is the 8-byte shingle hash. Exact counterpart of the
+    probabilistic neardup_minhash; its DuckDB oracle is the same
+    algebra in SQL.
+
+    ``df_cap``: with skewed corpora one hot shingle of document
+    frequency df emits O(df^2) pair rows. Setting df_cap drops shingles
+    with df > df_cap from the index (stop-shingles) and switches the
+    tail of the pipeline to candidate generation + EXACT verification
+    against full shingle sets — reported pairs stay exact; only pairs
+    ALL of whose common shingles are hot can be missed (the documented
+    contract, standard stop-word practice). df_cap=None is fully exact.
     """
-    import ray
 
     def shingles(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col).to_pylist()
-        doc_idx, sh = _shingle_hashes(texts, k)
+        doc_idx, sh = _shingle_hashes(b.column(text_col), k)
         ids = b.column(id_col).take(pa.array(doc_idx))
+        # per-doc distinct-shingle count rides along on every index row:
+        # the pair stage reads sizes from its own co-located rows
+        sizes = np.bincount(doc_idx, minlength=len(b))
         return pa.table(
             {
                 id_col: ids,
                 "sh": sh.astype(np.int64),
+                "sz": sizes[doc_idx].astype(np.int64),
                 "__bucket": (sh % np.uint64(N_COARSE)).astype(np.int64),
             }
         )
 
     sh_ds = ds.map_batches(shingles, batch_format="pyarrow", batch_size=None)
 
-    # doc shingle-set sizes: small aggregate, broadcast
-    sizes_df = sh_ds.groupby(id_col).count().to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df[id_col], sizes_df["count()"])))
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # self-merge on the exact shingle hash (vectorized), count
-        # co-occurrences per doc pair within this coarse partition
-        m = g[[id_col, "sh"]].merge(g[[id_col, "sh"]], on="sh", suffixes=("_a", "_b"))
+        """Vectorized self-merge on the exact shingle hash. All rows of
+        one shingle are co-located here, so its true document frequency
+        is computable in place — the df_cap guard drops hot shingles
+        BEFORE the quadratic merge."""
+        g = g[[id_col, "sh", "sz"]]
+        if df_cap is not None:
+            df = g.groupby("sh", sort=False)["sh"].transform("size")
+            g = g[df <= df_cap]
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = (
             m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)
-            .size()
-            .reset_index(name="c")
+            .agg(c=("sh", "size"), sa=("sz_a", "first"), sb=("sz_b", "first"))
+            .reset_index()
         )
-        return out.rename(columns={f"{id_col}_a": "a", f"{id_col}_b": "b"})
+        out = out.rename(columns={f"{id_col}_a": "a", f"{id_col}_b": "b"})
+        out["__pb"] = _pair_bucket(out["a"].to_numpy(dtype=np.int64),
+                                   out["b"].to_numpy(dtype=np.int64))
+        return out
 
     partial = sh_ds.groupby("__bucket").map_groups(bucket_pairs, batch_format="pandas")
 
-    # sum intersections per pair: coarse-partition on a pair hash, then a
+    # sum intersections per pair: coarse-partitioned on the pair hash,
     # vectorized pandas groupby-sum per partition (Ray's multi-key
     # aggregate is per-key Python — avoid it)
-    def add_pair_bucket(b: pa.Table) -> pa.Table:
-        h = (
-            b.column("a").to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            ^ b.column("b").to_numpy().astype(np.uint64)
-        ) % np.uint64(N_COARSE)
-        return b.append_column("__pb", pa.array(h.astype(np.int64)))
-
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+        out = g.groupby(["a", "b"], sort=False).agg(
+            c=("c", "sum"), sa=("sa", "first"), sb=("sb", "first")
+        ).reset_index()
+        return out
 
-    inter = (
-        partial.map_batches(add_pair_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("__pb")
-        .map_groups(sum_pairs, batch_format="pandas")
+    inter = partial.groupby("__pb").map_groups(sum_pairs, batch_format="pandas")
+
+    if df_cap is None:
+        def finalize(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table({"a": pa.array([], type=pa.int64()),
+                                 "b": pa.array([], type=pa.int64()),
+                                 "jaccard": pa.array([], type=pa.float64())})
+            a = b.column("a").to_numpy()
+            bb = b.column("b").to_numpy()
+            c = b.column("c").to_numpy()
+            sa = b.column("sa").to_numpy()
+            sb = b.column("sb").to_numpy()
+            jac = c / (sa + sb - c)
+            keep = jac >= tau
+            return pa.table({"a": a[keep], "b": bb[keep], "jaccard": jac[keep]})
+
+        return inter.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+    # df_cap path: the capped index undercounts intersections for pairs
+    # that shared hot shingles, so candidates go through the exact
+    # verification join instead of the in-place algebra
+    cand = inter.map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow", batch_size=None
     )
-
-    def finalize(b: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
-        a = b.column("a").to_numpy()
-        bb = b.column("b").to_numpy()
-        c = b.column("c").to_numpy()
-        sa = np.fromiter((sizes[x] for x in a), dtype=np.int64, count=len(a))
-        sb = np.fromiter((sizes[x] for x in bb), dtype=np.int64, count=len(bb))
-        jac = c / (sa + sb - c)
-        keep = jac >= tau
-        return pa.table({"a": a[keep], "b": bb[keep], "jaccard": jac[keep]})
-
-    return inter.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    return verify_jaccard_pairs(cand, ds, tau, k, text_col, id_col)

@@ -93,3 +93,37 @@ def test_cosine_topk_tie_break_by_id(ray_session):
     })
     out = A.cosine_topk(rd.from_arrow(tbl), base, k=3)
     assert out["vec_id"].tolist() == [10, 11, 12]
+
+
+def test_embedding_neardup_recall_on_planted_dups(ray_session):
+    """Planted near-duplicate vectors (cos >= 0.95) must be recovered by
+    the banded sign-LSH at default parameters; reported cosines exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import annops as A
+
+    rng = np.random.default_rng(17)
+    base = A._normalize(rng.standard_normal((40, 32)))
+    vecs = [base]
+    # 40 near-dups: ids 40..79 are tiny perturbations of ids 0..39
+    vecs.append(A._normalize(base + rng.standard_normal((40, 32)) * 0.02))
+    m = np.concatenate(vecs)
+    tbl = pa.table({
+        "vec_id": np.arange(len(m), dtype=np.int64),
+        "embedding": pa.array([v.tolist() for v in m],
+                              type=pa.list_(pa.float64())),
+    })
+    got = A.embedding_neardup(rd.from_arrow(tbl), threshold=0.95).to_pandas()
+    mn = A._normalize(m)
+    sims = mn @ mn.T
+    ai, bi = np.triu_indices(len(m), 1)
+    true_pairs = {(int(a), int(b)) for a, b in zip(ai[sims[ai, bi] >= 0.95],
+                                                   bi[sims[ai, bi] >= 0.95])}
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= true_pairs           # soundness (exact cosine verify)
+    assert len(true_pairs) >= 40
+    assert len(got_pairs) / len(true_pairs) >= 0.9   # banded recall
+    for r in got.itertuples():
+        np.testing.assert_allclose(r.cos, sims[r.a, r.b])

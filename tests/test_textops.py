@@ -126,3 +126,42 @@ def test_simhash_near_dup_property(ray_session):
     # determinism across calls
     out2 = T.simhash(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
     np.testing.assert_array_equal(out["simhash"].to_numpy(), out2["simhash"].to_numpy())
+
+
+def test_jaccard_df_cap_matches_exact_on_fixture(ray_session, sf_small):
+    """df_cap far above the fixture's max shingle df must not change the
+    result — the candidate+verify tail is as exact as the algebra."""
+    got_exact = T.jaccard_pairs_exact(docs_ds(sf_small), tau=0.5).to_pandas()
+    got_cap = T.jaccard_pairs_exact(docs_ds(sf_small), tau=0.5, df_cap=512).to_pandas()
+    a = set(zip(got_exact["a"], got_exact["b"]))
+    b = set(zip(got_cap["a"], got_cap["b"]))
+    assert a == b and len(a) > 0
+    ja = got_exact.sort_values(["a", "b"])["jaccard"].to_numpy()
+    jb = got_cap.sort_values(["a", "b"])["jaccard"].to_numpy()
+    np.testing.assert_allclose(ja, jb)
+
+
+def test_jaccard_hot_shingle_guard(ray_session):
+    """One shingle shared by EVERY doc must not emit O(n^2) pair rows
+    when df_cap is set; near-dup pairs sharing rare shingles are still
+    found with exact jaccard."""
+    import ray.data as rd
+
+    n = 2000
+    hot = "alpha beta gamma"          # one 3-gram shared by all docs
+    texts = [f"{hot} doc{i} filler{i} token{i} extra{i}" for i in range(n)]
+    # docs 0 and 1: near-identical beyond the hot shingle
+    texts[0] = f"{hot} same same same same same one"
+    texts[1] = f"{hot} same same same same same two"
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    out = T.jaccard_pairs_exact(
+        rd.from_arrow(t), tau=0.5, df_cap=64
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    # exact jaccard on full sets (hot shingle counted!): each doc has 9
+    # tokens -> 5 DISTINCT shingles; common = {hot, 'beta gamma same',
+    # 'gamma same same', 'same same same'} = 4
+    row = out[(out["a"] == 0) & (out["b"] == 1)].iloc[0]
+    want = 4 / (5 + 5 - 4)
+    np.testing.assert_allclose(row["jaccard"], want)
