@@ -27,6 +27,7 @@ AT_POINT_Q = (2000.0, 30.0)                # locate_all_at_point on rects
 CONTAINS_Q = (6.55, 8.0)                   # membership by equality (event 0)
 TILE_N = 16                                 # tile grid for the histogram
 SEL_X = 100.0                               # custom selection function: x < SEL_X
+DRAIN_Y = 8.0                               # drain_with_selection_function: y > DRAIN_Y
 LINE_WD_Q = (100.0, 10.0, 25.0)             # line within-distance (x, y, r2)
 POLY_Q = (100.0, 10.5)                      # point-in-polygon query point
 
@@ -173,6 +174,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def nn_stream(sf):
         # nearest_neighbor_iter full stream (rtree.rs:1094-1122)
         return ops.nn_stream(_points(sf), *NN_Q).select_columns(["id", "dist2"])
+
+    def remove_equal(sf):
+        # RTree::remove by full equality (rtree.rs:914-917): surviving set
+        _, surviving = ops.remove_equal(_points(sf), *CONTAINS_Q)
+        return surviving.select_columns(["id"])
+
+    def remove_selection(sf):
+        # remove ONE element matching a predicate (rtree.rs:701-706)
+        _, surviving = ops.remove_with_selection_function(
+            _points(sf), lambda b: b.column("minx").to_numpy() < SEL_X
+        )
+        return surviving.select_columns(["id"])
+
+    def drain_selection(sf):
+        # drain ALL matching elements (rtree.rs:720-739): drained side
+        drained, _ = ops.drain_with_selection_function(
+            _points(sf), lambda b: b.column("miny").to_numpy() > DRAIN_Y
+        )
+        return drained.select_columns(["id"])
 
     def drain_in_envelope(sf):
         # surviving side of the drain split (removal.rs:67-243)
@@ -365,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drain_limit": drain_limit,
         "remove_at_point": remove_at_point,
         "nn_stream": nn_stream,
+        "remove_equal": remove_equal,
+        "remove_selection": remove_selection,
+        "drain_selection": drain_selection,
         "selection_function": selection_function,
         "tile_histogram": tile_histogram,
         "tile_geometry_join": tile_geometry_join,
@@ -470,6 +493,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, (x-{nx})*(x-{nx}) + (y-{ny})*(y-{ny}) AS dist2 FROM ({P})"
         ),
         "selection_function": f"SELECT id FROM ({P}) WHERE x < {SEL_X}",
+        "remove_equal": (
+            f"SELECT id FROM ({P}) WHERE id NOT IN "
+            f"(SELECT COALESCE(min(id), -1) FROM ({P}) WHERE x = {cx} AND y = {cy})"
+        ),
+        "remove_selection": (
+            f"SELECT id FROM ({P}) WHERE id NOT IN "
+            f"(SELECT COALESCE(min(id), -1) FROM ({P}) WHERE x < {SEL_X})"
+        ),
+        "drain_selection": f"SELECT id FROM ({P}) WHERE y > {DRAIN_Y}",
         "tile_histogram": (
             f"WITH t AS (SELECT x, y, "
             f"LEAST(GREATEST(CAST(FLOOR((x - ({b.minx})) / {b.width} * {TILE_N}) AS BIGINT), 0), {TILE_N - 1}) AS tile_x, "

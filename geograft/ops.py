@@ -508,6 +508,73 @@ def remove_at_point(ds, x, y, id_col: str = "id"):
     )
 
 
+def remove_with_selection_function(ds, sel_rows, id_col: str = "id"):
+    """remove_with_selection_function (rtree.rs:701-706): remove ONE
+    element matched by the selection function. The reference removes an
+    arbitrary match; the engine's deterministic pick is the smallest
+    matching id (same rule as remove_at_point). Returns
+    (removed_df, surviving_ds).
+
+    Two passes, no shuffle: a per-block partial min of matching ids
+    (one tiny row per block merged on the driver), then a broadcast
+    anti-filter.
+    """
+    import pandas as pd
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = sel_rows(batch)
+        ids = batch.column(id_col).to_numpy()[m]
+        return pa.table({id_col: ids.min(keepdims=True) if len(ids) else ids[:0]})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
+        return pd.DataFrame(), ds
+    victim = min(int(t.column(id_col)[0].as_py()) for t in blocks)
+
+    def f(keep_victim: bool):
+        def g(batch: pa.Table) -> pa.Table:
+            m = batch.column(id_col).to_numpy() == victim
+            return batch.filter(pa.array(m if keep_victim else ~m))
+
+        return g
+
+    removed = ds.map_batches(f(True), batch_format="pyarrow", batch_size=None).to_pandas()
+    return removed, ds.map_batches(f(False), batch_format="pyarrow", batch_size=None)
+
+
+def remove_equal(ds, x, y, id_col: str = "id"):
+    """RTree::remove (rtree.rs:914-917): remove ONE element EQUAL to the
+    query element (SelectEqualsFunction, selection_functions.rs:141-169).
+    For point rows (degenerate envelopes) equality is coordinate
+    equality; duplicates leave the other copies in place."""
+
+    def eq(batch: pa.Table) -> np.ndarray:
+        return (
+            (batch.column("minx").to_numpy() == x)
+            & (batch.column("miny").to_numpy() == y)
+            & (batch.column("maxx").to_numpy() == x)
+            & (batch.column("maxy").to_numpy() == y)
+        )
+
+    return remove_with_selection_function(ds, eq, id_col)
+
+
+def drain_with_selection_function(ds, sel_rows):
+    """drain_with_selection_function (rtree.rs:720-739): split into
+    (drained = ALL elements the selection function matches, surviving =
+    the rest) — the same lazy two-sided split contract as the other
+    drain ops (a split, not a mutation)."""
+    drained = ds.map_batches(
+        lambda b: b.filter(pa.array(sel_rows(b))), batch_format="pyarrow", batch_size=None
+    )
+    surviving = ds.map_batches(
+        lambda b: b.filter(pa.array(~sel_rows(b))), batch_format="pyarrow", batch_size=None
+    )
+    return drained, surviving
+
+
 def nn_stream(ds, x, y, id_col: str = "id"):
     """nearest_neighbor_iter full stream (rtree.rs:1094-1122): EVERY
     element annotated with distance_2 and globally sorted by

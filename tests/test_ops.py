@@ -273,3 +273,49 @@ def test_selection_function_udf(ray_session, con, sf_small):
         "id"
     ].to_numpy()
     np.testing.assert_array_equal(got, want)
+
+
+def test_remove_round_trip_with_duplicates(ray_session):
+    """Removal round-trip (rstar removal.rs:257-302 re-expressed):
+    remove-by-equality takes exactly ONE element per call even when
+    duplicates exist; drain_with_selection_function takes ALL matches;
+    surviving + removed partitions the input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import ops
+
+    x = np.array([1.0, 1.0, 2.0, 3.0, 3.0, 3.0])
+    y = np.array([5.0, 5.0, 6.0, 7.0, 7.0, 7.0])
+    t = pa.table({"id": np.arange(6, dtype=np.int64),
+                  "minx": x, "miny": y, "maxx": x, "maxy": y})
+    ds = rd.from_arrow(t)
+
+    # remove one of the two (1,5) duplicates -> smallest id goes
+    removed, surv = ops.remove_equal(ds, 1.0, 5.0)
+    assert removed["id"].tolist() == [0]
+    assert sorted(surv.to_pandas()["id"]) == [1, 2, 3, 4, 5]
+
+    # remove again from the surviving side -> the other copy goes
+    removed2, surv2 = ops.remove_equal(surv, 1.0, 5.0)
+    assert removed2["id"].tolist() == [1]
+    assert sorted(surv2.to_pandas()["id"]) == [2, 3, 4, 5]
+
+    # no match -> nothing removed, dataset unchanged
+    removed3, surv3 = ops.remove_equal(surv2, 9.0, 9.0)
+    assert len(removed3) == 0
+    assert sorted(surv3.to_pandas()["id"]) == [2, 3, 4, 5]
+
+    # predicate removal takes ONE (smallest matching id)
+    removed4, surv4 = ops.remove_with_selection_function(
+        surv3, lambda b: b.column("minx").to_numpy() >= 3.0
+    )
+    assert removed4["id"].tolist() == [3]
+
+    # drain takes ALL matches; both sides partition the input
+    drained, kept = ops.drain_with_selection_function(
+        surv4, lambda b: b.column("minx").to_numpy() >= 3.0
+    )
+    assert sorted(drained.to_pandas()["id"]) == [4, 5]
+    assert sorted(kept.to_pandas()["id"]) == [2]
