@@ -30,6 +30,8 @@ SEL_X = 100.0                               # custom selection function: x < SEL
 DRAIN_Y = 8.0                               # drain_with_selection_function: y > DRAIN_Y
 LINE_WD_Q = (100.0, 10.0, 25.0)             # line within-distance (x, y, r2)
 POLY_Q = (100.0, 10.5)                      # point-in-polygon query point
+KNN3_Q = (100.0, 50.0, 48.0, 10)            # 3-d kNN (x, y, z, k)
+WD3_Q = (100.0, 50.0, 48.0, 2000.0)         # 3-d within-distance (x, y, z, r2)
 
 
 def entry() -> Any:
@@ -153,6 +155,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ops.spatial_join(
             FX.join_left_ds(sf), FX.join_right_ds(sf), level=4, bounds=FX.JOIN_BOUNDS
         )
+
+    def spatial_join_3d(sf):
+        # dimension-generic join routing (point.rs:295-323): 3-axis
+        # Morton replication + per-cell dual PTree + owner-cell dedup
+        return ops.spatial_join_nd(
+            FX.join3_left_ds(sf), FX.join3_right_ds(sf),
+            ["minx", "miny", "minz"], ["maxx", "maxy", "maxz"],
+            level=3, bounds=FX.JOIN3_BOUNDS,
+        )
+
+    def knn_3d(sf):
+        import pyarrow as pa
+
+        q = pa.table({"qid": [0], "x": [KNN3_Q[0]], "y": [KNN3_Q[1]], "z": [KNN3_Q[2]]})
+        return ops.knn_nd(FX.points3d_ds(sf), q, k=KNN3_Q[3], axes=["x", "y", "z"])
+
+    def within_distance_3d(sf):
+        return ops.locate_within_distance_nd(
+            FX.points3d_ds(sf), ["x", "y", "z"], WD3_Q[:3], WD3_Q[3]
+        ).select_columns(["id"])
 
     def drain_within_distance(sf):
         # surviving side (rtree.rs:1066-1073)
@@ -380,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_neighbors_ties": nearest_neighbors_ties,
         "pop_nearest_neighbor": pop_nearest_neighbor,
         "spatial_join": spatial_join,
+        "spatial_join_3d": spatial_join_3d,
+        "knn_3d": knn_3d,
+        "within_distance_3d": within_distance_3d,
         "drain_in_envelope": drain_in_envelope,
         "drain_within_distance": drain_within_distance,
         "drain_limit": drain_limit,
@@ -473,6 +498,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT a.id AS left_id, b.id AS right_id FROM ({JL}) a, ({JR}) b "
             "WHERE a.minx <= b.maxx AND a.maxx >= b.minx "
             "AND a.miny <= b.maxy AND a.maxy >= b.miny"
+        ),
+        "spatial_join_3d": (
+            f"SELECT a.id AS left_id, b.id AS right_id "
+            f"FROM ({FX.JOIN3_LEFT_SQL}) a, ({FX.JOIN3_RIGHT_SQL}) b "
+            "WHERE a.minx <= b.maxx AND a.maxx >= b.minx "
+            "AND a.miny <= b.maxy AND a.maxy >= b.miny "
+            "AND a.minz <= b.maxz AND a.maxz >= b.minz"
+        ),
+        "knn_3d": (
+            f"SELECT 0 AS qid, id, (x-{KNN3_Q[0]})*(x-{KNN3_Q[0]}) + "
+            f"(y-{KNN3_Q[1]})*(y-{KNN3_Q[1]}) + (z-{KNN3_Q[2]})*(z-{KNN3_Q[2]}) AS dist2 "
+            f"FROM ({FX.POINTS3D_SQL}) ORDER BY dist2, id LIMIT {KNN3_Q[3]}"
+        ),
+        "within_distance_3d": (
+            f"SELECT id FROM ({FX.POINTS3D_SQL}) "
+            f"WHERE (x-{WD3_Q[0]})*(x-{WD3_Q[0]}) + (y-{WD3_Q[1]})*(y-{WD3_Q[1]}) "
+            f"+ (z-{WD3_Q[2]})*(z-{WD3_Q[2]}) <= {WD3_Q[3]}"
         ),
         "drain_in_envelope": (
             f"SELECT id FROM ({P}) WHERE NOT (x BETWEEN {ex0} AND {ex1} "

@@ -147,3 +147,90 @@ def join_right_ds(sf_dir: str):
 
 
 JOIN_BOUNDS = G.Bounds(-1100.0, -1.0, 12000.0, 40.0)
+
+# ---- 3-d fixtures (dimension-generic surface, point.rs:295-323) -----------
+
+POINTS3D_SQL = (
+    "SELECT event_id AS id, value AS x, CAST(user_id AS DOUBLE) AS y, "
+    "CAST(event_id % 97 AS DOUBLE) AS z FROM events"
+)
+
+
+def points3d_ds(sf_dir: str):
+    from .io import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value", "user_id"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        z = (b.column("event_id").to_numpy() % 97).astype(np.float64)
+        return pa.table(
+            {
+                "id": b.column("event_id"),
+                "x": b.column("value"),
+                "y": b.column("user_id").to_numpy().astype(np.float64),
+                "z": z,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+POINTS3D_BOUNDS = G.BoundsND([-1.0, -1.0, -1.0], [1100.0, 2100.0, 98.0])
+
+# 3-d join: the 2-d supplier x part sides extruded into a z slab keyed
+# by (key % 7) so only overlapping slabs pair up.
+JOIN3_LEFT_SQL = (
+    "SELECT s_suppkey AS id, s_acctbal AS minx, CAST(s_nationkey AS DOUBLE) AS miny, "
+    "CAST(s_suppkey % 7 AS DOUBLE) AS minz, s_acctbal + 2000.0 AS maxx, "
+    "CAST(s_nationkey AS DOUBLE) + 3.0 AS maxy, "
+    "CAST(s_suppkey % 7 AS DOUBLE) + 1.5 AS maxz FROM supplier"
+)
+JOIN3_RIGHT_SQL = (
+    "SELECT p_partkey AS id, p_retailprice AS minx, CAST(p_size AS DOUBLE) / 2 AS miny, "
+    "CAST(p_partkey % 7 AS DOUBLE) AS minz, p_retailprice + 150.0 AS maxx, "
+    "CAST(p_size AS DOUBLE) / 2 + 2.0 AS maxy, "
+    "CAST(p_partkey % 7 AS DOUBLE) + 1.5 AS maxz FROM part"
+)
+
+
+def join3_left_ds(sf_dir: str):
+    from .io import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal", "s_nationkey"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        x = b.column("s_acctbal").to_numpy()
+        y = b.column("s_nationkey").to_numpy().astype(np.float64)
+        z = (b.column("s_suppkey").to_numpy() % 7).astype(np.float64)
+        return pa.table(
+            {"id": b.column("s_suppkey"), "minx": x, "miny": y, "minz": z,
+             "maxx": x + 2000.0, "maxy": y + 3.0, "maxz": z + 1.5}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def join3_right_ds(sf_dir: str):
+    from .io import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        x = b.column("p_retailprice").to_numpy()
+        y = b.column("p_size").to_numpy().astype(np.float64) / 2
+        z = (b.column("p_partkey").to_numpy() % 7).astype(np.float64)
+        return pa.table(
+            {"id": b.column("p_partkey"), "minx": x, "miny": y, "minz": z,
+             "maxx": x + 150.0, "maxy": y + 2.0, "maxz": z + 1.5}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+JOIN3_BOUNDS = G.BoundsND([-1100.0, -1.0, -1.0], [12000.0, 40.0, 9.0])

@@ -213,6 +213,103 @@ def children(cell_id: np.ndarray) -> np.ndarray:
     return np.concatenate(out)
 
 
+# --------------------------------------------------------------------------
+# N-dimensional grid (the reference is dimension-generic, point.rs:295-323)
+# --------------------------------------------------------------------------
+
+class BoundsND:
+    """World hyper-rectangle for d >= 2 axes (inclusive-exclusive)."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo, hi):
+        self.lo = np.asarray(lo, dtype=np.float64)
+        self.hi = np.asarray(hi, dtype=np.float64)
+        if self.lo.shape != self.hi.shape or self.lo.ndim != 1:
+            raise ValueError("lo/hi must be equal-length 1-d")
+        if not (self.hi > self.lo).all():
+            raise ValueError("degenerate bounds")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.lo)
+
+    @property
+    def width(self) -> np.ndarray:
+        return self.hi - self.lo
+
+    def to_list(self) -> list[list[float]]:
+        return [self.lo.tolist(), self.hi.tolist()]
+
+
+def max_level_nd(d: int) -> int:
+    """Finest level whose d-axis Morton code fits the 56 id bits."""
+    return _LEVEL_SHIFT // d
+
+
+def cell_coords_nd(coords: np.ndarray, level: int, bounds: BoundsND) -> np.ndarray:
+    """(n, d) float coords -> (n, d) integer cell coords, clipped."""
+    n = 1 << level
+    c = np.floor((coords - bounds.lo) / bounds.width * n).astype(np.int64)
+    return np.clip(c, 0, n - 1)
+
+
+def pack_nd(cells: np.ndarray, level: int) -> np.ndarray:
+    """(n, d) integer cell coords -> int64 cell id: d-axis Morton
+    interleave + packed level. Bit loop is over level*d (< 60) rounds,
+    each fully vectorized over rows."""
+    d = cells.shape[1]
+    if level > max_level_nd(d):
+        raise ValueError(f"level {level} > max {max_level_nd(d)} for d={d}")
+    out = np.zeros(len(cells), dtype=np.uint64)
+    c = cells.astype(np.uint64)
+    for bit in range(level):
+        for ax in range(d):
+            out |= ((c[:, ax] >> np.uint64(bit)) & np.uint64(1)) << np.uint64(bit * d + ax)
+    return (out | (np.uint64(level) << np.uint64(_LEVEL_SHIFT))).astype(np.int64)
+
+
+def cell_of_points_nd(coords: np.ndarray, level: int, bounds: BoundsND) -> np.ndarray:
+    return pack_nd(cell_coords_nd(coords, level, bounds), level)
+
+
+def enumerate_cell_ranges_nd(c0: np.ndarray, c1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Expand n inclusive d-dim integer ranges into member cells.
+    Returns (row_index, (m, d) cells) — mixed-radix enumeration,
+    vectorized over the expanded rows."""
+    spans = c1 - c0 + 1                      # (n, d)
+    counts = spans.prod(axis=1)
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    d = c0.shape[1]
+    out = np.empty((total, d), dtype=np.int64)
+    rem = offs
+    # row-major decode: last axis fastest
+    for ax in range(d - 1, -1, -1):
+        sp = np.repeat(spans[:, ax], counts)
+        out[:, ax] = np.repeat(c0[:, ax], counts) + rem % sp
+        rem = rem // sp
+    return row_idx, out
+
+
+def covering_cells_of_envelopes_nd(
+    lo: np.ndarray, hi: np.ndarray, level: int, bounds: BoundsND
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, cell_id) for every cell each (n, d) envelope touches."""
+    c0 = cell_coords_nd(lo, level, bounds)
+    c1 = cell_coords_nd(hi, level, bounds)
+    row_idx, cells = enumerate_cell_ranges_nd(c0, c1)
+    return row_idx, pack_nd(cells, level)
+
+
+def owner_cell_nd(lo: np.ndarray, level: int, bounds: BoundsND) -> np.ndarray:
+    """Owner-cell rule in d dims: the cell containing the min corner."""
+    return cell_of_points_nd(lo, level, bounds)
+
+
 def parent(cell_id: np.ndarray) -> np.ndarray:
     cx, cy, level = unpack(np.asarray(cell_id))
     lv = level - 1

@@ -1094,6 +1094,147 @@ def _cell_level(cell_id: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# N-dimensional Dataset surface (reference is dimension-generic,
+# point.rs:295-323; bulk_load_sequential.rs:113-151 tests 3-d/4-d)
+# --------------------------------------------------------------------------
+
+def locate_within_distance_nd(ds, axes: list[str], center, r2: float):
+    """locate_within_distance in d dims over arbitrary coordinate
+    columns (point rows): sum of squared axis deltas <= r2."""
+    c = np.asarray(center, dtype=np.float64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        d2 = np.zeros(len(batch))
+        for i, col in enumerate(axes):
+            dx = batch.column(col).to_numpy().astype(np.float64) - c[i]
+            d2 += dx * dx
+        return batch.filter(pa.array(d2 <= r2))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def knn_nd(ds, queries: pa.Table, k: int, axes: list[str],
+           id_col: str = "id", reduce_blocks: int = 8):
+    """Brute-force exact kNN in d dims (point rows; same broadcast +
+    per-block top-k + tree-reduce shape as the 2-d knn, same
+    deterministic (dist2, id) tie contract)."""
+    import pandas as pd
+    import ray
+
+    qxy = np.stack([queries.column(c).to_numpy().astype(np.float64) for c in axes], axis=1)
+    qref = ray.put({"qid": queries.column("qid").to_numpy(), "xy": qxy})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        n = len(batch)
+        if n == 0:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "dist2": pa.array([], type=pa.float64())})
+        ids = batch.column(id_col).to_numpy()
+        pts = np.stack([batch.column(c).to_numpy().astype(np.float64) for c in axes], axis=1)
+        rid = np.argsort(ids, kind="stable")
+        ids, pts = ids[rid], pts[rid]
+        kk = min(k, n)
+        out_q, out_i, out_d = [], [], []
+        for s in range(0, len(q["qid"]), _KNN_Q_CHUNK):
+            qc = q["xy"][s : s + _KNN_Q_CHUNK]
+            d2 = np.zeros((n, len(qc)))
+            for ax in range(pts.shape[1]):
+                diff = pts[:, ax][:, None] - qc[:, ax][None, :]
+                d2 += diff * diff
+            part = _topk_rows_per_col(d2, kk)
+            out_q.append(np.repeat(q["qid"][s : s + _KNN_Q_CHUNK], kk))
+            out_i.append(ids[part].ravel(order="F"))
+            out_d.append(np.take_along_axis(d2, part, axis=0).ravel(order="F"))
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "dist2": np.concatenate(out_d)})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    cand = cand.repartition(reduce_blocks).map_batches(
+        _knn_reduce, fn_args=(k, id_col), batch_format="pyarrow", batch_size=None
+    )
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
+        return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+    tbl = pa.concat_tables(blocks)
+    qid = tbl.column("qid").to_numpy()
+    ids = tbl.column(id_col).to_numpy()
+    d2 = tbl.column("dist2").to_numpy()
+    keep = _topk_per_qid(qid, ids, d2, k)
+    order = np.lexsort((ids[keep], d2[keep], qid[keep]))
+    keep = keep[order]
+    return pd.DataFrame({"qid": qid[keep], id_col: ids[keep], "dist2": d2[keep]})
+
+
+def spatial_join_nd(
+    left, right, axes_lo: list[str], axes_hi: list[str],
+    level: int, bounds: "G.BoundsND",
+    left_id: str = "left_id", right_id: str = "right_id", id_col: str = "id",
+):
+    """intersection_candidates in d dims: the 2-d spatial_join shape
+    (flat replication to touched cells -> one coarse shuffle -> dual
+    PTree per cell -> owner-cell exactly-once dedup) over a d-axis
+    Morton grid. PTree and the envelope kernels are dimension-generic
+    already; this extends the Dataset-layer routing."""
+    d = len(axes_lo)
+
+    def prep(side_tag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.select([id_col, *axes_lo, *axes_hi])
+            lo = np.stack([t.column(c).to_numpy().astype(np.float64) for c in axes_lo], axis=1)
+            hi = np.stack([t.column(c).to_numpy().astype(np.float64) for c in axes_hi], axis=1)
+            rows, cells = G.covering_cells_of_envelopes_nd(lo, hi, level, bounds)
+            out = t.take(pa.array(rows))
+            out = out.append_column("cell_id", pa.array(cells))
+            return out.append_column("side", pa.array(np.full(len(out), side_tag, dtype=np.int8)))
+
+        return f
+
+    both = left.map_batches(prep(0), batch_format="pyarrow", batch_size=None).union(
+        right.map_batches(prep(1), batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({left_id: pa.array([], type=pa.int64()),
+                          right_id: pa.array([], type=pa.int64())})
+        if len(group) == 0 or "cell_id" not in group.column_names:
+            return empty
+        side = group.column("side").to_numpy()
+        cell = group.column("cell_id").to_numpy()
+        lo = np.stack([group.column(c).to_numpy() for c in axes_lo], axis=1)
+        up = np.stack([group.column(c).to_numpy() for c in axes_hi], axis=1)
+        ids = group.column(id_col).to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        bnd = np.concatenate([[0], np.nonzero(cell_s[1:] != cell_s[:-1])[0] + 1, [len(cell_s)]])
+        out_l, out_r = [], []
+        for gi in range(len(bnd) - 1):
+            rows = order[bnd[gi] : bnd[gi + 1]]
+            lmask = side[rows] == 0
+            li, ri = rows[lmask], rows[~lmask]
+            if len(li) == 0 or len(ri) == 0:
+                continue
+            tl = PTree(lo[li], up[li])
+            tr = PTree(lo[ri], up[ri])
+            a, b = tl.join(tr)
+            ga, gb = li[a], ri[b]
+            this_cell = cell[rows[0]]
+            imin = np.maximum(lo[ga], lo[gb])           # (m, d) min corner
+            owner = G.owner_cell_nd(imin, int(_cell_level(this_cell)), bounds)
+            keep = owner == this_cell
+            out_l.append(ids[ga[keep]])
+            out_r.append(ids[gb[keep]])
+        if not out_l:
+            return empty
+        return pa.table({left_id: np.concatenate(out_l),
+                         right_id: np.concatenate(out_r)})
+
+    return coarse_group_by_cell(both, join_bucket)
+
+
+# --------------------------------------------------------------------------
 # cell directory — the distributed "root node" (SURVEY.md §2.6)
 # --------------------------------------------------------------------------
 

@@ -116,3 +116,73 @@ def test_children_mixed_levels():
         assert set(zip(cx[m].tolist(), cy[m].tolist())) == {
             (pcx * 2 + dx, pcy * 2 + dy) for dx in (0, 1) for dy in (0, 1)
         }
+
+
+def test_nd_pack_enumerate_round_trip():
+    """3-d Morton pack is injective per level; covering-cell enumeration
+    matches the brute-force cross product."""
+    import numpy as np
+
+    from geograft import grid as G
+
+    rng = np.random.default_rng(5)
+    b = G.BoundsND([0.0, 0.0, 0.0], [1.0, 1.0, 1.0])
+    pts = rng.uniform(0, 1, (500, 3))
+    ids = G.cell_of_points_nd(pts, 4, b)
+    cc = G.cell_coords_nd(pts, 4, b)
+    # injective: equal ids <=> equal integer cells
+    seen = {}
+    for i, cid in enumerate(ids):
+        key = tuple(cc[i])
+        if cid in seen:
+            assert seen[cid] == key
+        else:
+            seen[cid] = key
+    # enumeration vs brute force
+    c0 = np.array([[1, 2, 3], [0, 0, 0]])
+    c1 = np.array([[2, 4, 3], [1, 1, 1]])
+    rows, cells = G.enumerate_cell_ranges_nd(c0, c1)
+    got = {(int(r), tuple(c)) for r, c in zip(rows, cells)}
+    want = set()
+    for r in range(2):
+        for i in range(c0[r, 0], c1[r, 0] + 1):
+            for j in range(c0[r, 1], c1[r, 1] + 1):
+                for k in range(c0[r, 2], c1[r, 2] + 1):
+                    want.add((r, (i, j, k)))
+    assert got == want
+
+
+def test_nd_join_exactly_once_on_cell_boundaries(ray_session):
+    """A 3-d pair overlapping in several cells is reported exactly once
+    (owner-cell rule in d dims)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import grid as G
+    from geograft import ops
+
+    b = G.BoundsND([0.0, 0.0, 0.0], [8.0, 8.0, 8.0])
+    # one big left box spanning many level-2 cells, several right boxes
+    left = pa.table({"id": np.array([1], dtype=np.int64),
+                     "minx": [0.5], "miny": [0.5], "minz": [0.5],
+                     "maxx": [6.5], "maxy": [6.5], "maxz": [6.5]})
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(0, 7, (50, 3))
+    right = pa.table({"id": np.arange(100, 150, dtype=np.int64),
+                      "minx": lo[:, 0], "miny": lo[:, 1], "minz": lo[:, 2],
+                      "maxx": lo[:, 0] + 1.0, "maxy": lo[:, 1] + 1.0,
+                      "maxz": lo[:, 2] + 1.0})
+    out = ops.spatial_join_nd(
+        rd.from_arrow(left), rd.from_arrow(right),
+        ["minx", "miny", "minz"], ["maxx", "maxy", "maxz"],
+        level=2, bounds=b,
+    ).to_pandas()
+    # brute force
+    want = set()
+    for i in range(50):
+        if (lo[i] <= 6.5).all() and (lo[i] + 1.0 >= 0.5).all():
+            want.add((1, 100 + i))
+    got = list(zip(out["left_id"], out["right_id"]))
+    assert len(got) == len(set(got)), "duplicate pair reported"
+    assert set(got) == want
