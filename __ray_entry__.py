@@ -32,6 +32,8 @@ LINE_WD_Q = (100.0, 10.0, 25.0)             # line within-distance (x, y, r2)
 POLY_Q = (100.0, 10.5)                      # point-in-polygon query point
 KNN3_Q = (100.0, 50.0, 48.0, 10)            # 3-d kNN (x, y, z, k)
 WD3_Q = (100.0, 50.0, 48.0, 2000.0)         # 3-d within-distance (x, y, z, r2)
+INT_OFF = 9007199254740992                  # 2^53: int coords beyond float53 exactness
+INT_Q = (INT_OFF + 101, 10, INT_OFF + 999, 80)  # int envelope (odd bounds!)
 
 
 def entry() -> Any:
@@ -103,6 +105,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, ["value", "user_id", "event_id"],
             [5.0, 10.0, 0.0], [200.0, 80.0, 5000.0],
         ).select_columns(["event_id"])
+
+    def locate_in_box_int(sf):
+        # integer-coordinate path (RTreeNum ints, point.rs:98-100):
+        # coords offset beyond 2^53 with ODD query bounds, so any
+        # float64 round-trip would flip boundary rows; the engine
+        # compares int64 end to end
+        import numpy as np
+        import pyarrow as pa
+
+        ds = read_parquet_sized(
+            f"{sf}/events.parquet", columns=["event_id", "user_id"]
+        )
+
+        def mk(b):
+            ix = b.column("event_id").to_numpy() + INT_OFF
+            return pa.table({"id": b.column("event_id"), "ix": ix,
+                             "iy": b.column("user_id")})
+
+        pts = ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+        return ops.locate_in_box_nd(
+            pts, ["ix", "iy"], [INT_Q[0], INT_Q[1]], [INT_Q[2], INT_Q[3]]
+        ).select_columns(["id"])
 
     def contains(sf):
         # RTree::contains (rtree.rs:890-892): membership by equality
@@ -396,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locate_all_at_point": locate_all_at_point,
         "locate_within_distance": locate_within_distance,
         "locate_in_box_3d": locate_in_box_3d,
+        "locate_in_box_int": locate_in_box_int,
         "contains": contains,
         "knn": knn,
         "indexed_knn": indexed_knn,
@@ -477,6 +502,11 @@ def oracle_sql() -> dict[str, str]:
         "locate_in_box_3d": (
             "SELECT event_id FROM events WHERE value BETWEEN 5.0 AND 200.0 "
             "AND user_id BETWEEN 10.0 AND 80.0 AND event_id BETWEEN 0.0 AND 5000.0"
+        ),
+        "locate_in_box_int": (
+            f"SELECT event_id AS id FROM events "
+            f"WHERE event_id + {INT_OFF} BETWEEN {INT_Q[0]} AND {INT_Q[2]} "
+            f"AND user_id BETWEEN {INT_Q[1]} AND {INT_Q[3]}"
         ),
         "knn": (
             f"SELECT 0 AS qid, id, (x-{kx})*(x-{kx}) + (y-{ky})*(y-{ky}) AS dist2 "

@@ -144,7 +144,17 @@ def env_area(lower, upper) -> np.ndarray:
 
 
 def env_center(lower, upper) -> np.ndarray:
-    """AABB::center (aabb.rs:205-209): (l+u)/2 per axis."""
+    """AABB::center (aabb.rs:205-209): (l+u)/2 per axis.
+
+    Integer input keeps RTreeNum integer semantics (point.rs:98-100):
+    the division is truncating INTEGER division l + (u-l)//2 — exact for
+    the full int64 range, never a float midpoint."""
+    lower = np.asarray(lower)
+    upper = np.asarray(upper)
+    if np.issubdtype(lower.dtype, np.integer) and np.issubdtype(upper.dtype, np.integer):
+        if lower.ndim == 1:
+            lower, upper = lower[None, :], upper[None, :]
+        return lower + (upper - lower) // 2
     lower, upper = _as2d(lower), _as2d(upper)
     return (lower + upper) / 2.0
 

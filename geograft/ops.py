@@ -387,14 +387,19 @@ def locate_in_box_nd(ds, axes: list[str], lo: list[float], hi: list[float]):
     columns — the Dataset-layer counterpart of the reference's
     dimension-generic Point/AABB (rstar supports any D >= 2,
     point.rs:295-323); kernels and PTree are already n-dim, this exposes
-    the same generality to Dataset pipelines."""
-    lo = np.asarray(lo, dtype=np.float64)
-    hi = np.asarray(hi, dtype=np.float64)
+    the same generality to Dataset pipelines.
+
+    Dtype-preserving: integer coordinate columns compared against
+    integer bounds stay int64 end to end (RTreeNum integer scalars,
+    point.rs:98-100) — exact beyond 2^53, where a float64 round-trip
+    would corrupt the comparison."""
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
 
     def f(batch: pa.Table) -> pa.Table:
         keep = np.ones(len(batch), dtype=bool)
         for i, col in enumerate(axes):
-            v = batch.column(col).to_numpy().astype(np.float64)
+            v = batch.column(col).to_numpy()
             keep &= (v >= lo[i]) & (v <= hi[i])
         return batch.filter(pa.array(keep))
 

@@ -253,6 +253,41 @@ def query_index_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
     return ops.locate_in_envelope(ds, qminx, qminy, qmaxx, qmaxy)
 
 
+def query_index_with_selection_function(path: str, keep_rows,
+                                        prune_partition=None):
+    """locate_with_selection_function against a BUILT index — BOTH
+    halves of the SelectionFunction protocol (selection_functions.rs:
+    23-37): ``prune_partition(lo, up) -> bool mask`` plays
+    should_unpack_parent against the manifest's partition envelopes
+    (pruned partitions are never read from storage), ``keep_rows``
+    plays should_unpack_leaf on the surviving rows.
+
+    Returns (dataset_or_None, n_files_read, n_files_total) so callers
+    and tests can observe the prune.
+    """
+    from . import ops
+
+    man = load_manifest(path)
+    files, los, ups = [], [], []
+    for p in man["partitions"].values():
+        if p["rows"] == 0:
+            continue
+        files.append(os.path.join(path, p["file"]))
+        los.append([p["minx"], p["miny"]])
+        ups.append([p["maxx"], p["maxy"]])
+    total = len(files)
+    if prune_partition is not None and files:
+        mask = np.asarray(prune_partition(np.asarray(los), np.asarray(ups)),
+                          dtype=bool)
+        files = [f for f, m in zip(files, mask) if m]
+    if not files:
+        return None, 0, total
+    import ray.data as rd
+
+    ds = rd.read_parquet(files)
+    return ops.locate_with_selection_function(ds, keep_rows), len(files), total
+
+
 def checkpointed_spatial_join(
     left, right, level: int, bounds: G.Bounds, out_dir: str,
     id_col: str = "id", resume: bool = True,

@@ -105,3 +105,41 @@ def test_area_perimeter_center():
     np.testing.assert_array_equal(K.env_center(lo, up), [[1.0, 2.5]])
     # inverted box clamps area to 0 (aabb.rs:167-172)
     assert K.env_area(up, lo)[0] == 0.0
+
+
+def test_env_center_integer_semantics():
+    """AABB::center for integer scalars is truncating integer division
+    (aabb.rs:205-209), exact over the full int64 range."""
+    import numpy as np
+
+    from geograft import kernels as K
+
+    lo = np.array([[0, 2**62], [1, 5]], dtype=np.int64)
+    up = np.array([[3, 2**62 + 11], [2, 8]], dtype=np.int64)
+    c = K.env_center(lo, up)
+    assert c.dtype == np.int64
+    np.testing.assert_array_equal(c, [[1, 2**62 + 5], [1, 6]])
+    # float path unchanged: true midpoint
+    cf = K.env_center(lo.astype(np.float64), up.astype(np.float64))
+    np.testing.assert_allclose(cf[1], [1.5, 6.5])
+
+
+def test_int_box_exact_beyond_2_53(ray_session):
+    """Integer envelope comparison is exact past 2^53, where a float64
+    cast merges adjacent ints (RTreeNum int parity, point.rs:98-100)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import ops
+
+    base = 2**53
+    ix = np.array([base + 100, base + 101, base + 102, base + 103], dtype=np.int64)
+    t = pa.table({"id": np.arange(4, dtype=np.int64), "ix": ix,
+                  "iy": np.zeros(4, dtype=np.int64)})
+    out = ops.locate_in_box_nd(
+        rd.from_arrow(t), ["ix", "iy"], [base + 101, 0], [base + 102, 0]
+    ).to_pandas()
+    # float64 cannot represent base+101/base+103 (spacing 2 past 2^53);
+    # a cast would pull id 0 in or push id 1 out
+    assert sorted(out["id"]) == [1, 2]

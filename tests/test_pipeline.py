@@ -201,3 +201,39 @@ def test_delta_ingest_equals_bulk(ray_session, sf_small, tmp_path):
         a = np.sort(pipeline.query_index_envelope(inc_path, *q).to_pandas()["id"].to_numpy())
         b = np.sort(pipeline.query_index_envelope(bulk_path, *q).to_pandas()["id"].to_numpy())
         np.testing.assert_array_equal(a, b)
+
+
+def test_selection_function_planner_prune(ray_session, tmp_path, sf_small):
+    """Both halves of the SelectionFunction protocol against a built
+    index (selection_functions.rs:23-37): prune_partition must cut the
+    files read; results equal the unpruned scan."""
+    import numpy as np
+
+    from geograft import fixtures as FX
+    from geograft import pipeline as P
+
+    path = str(tmp_path / "idx")
+    P.build_partitioned_index(
+        FX.points_ds(sf_small), path, base_level=3, bounds=FX.POINTS_BOUNDS
+    )
+
+    sel_x = 60.0
+
+    def keep_rows(b):
+        return b.column("minx").to_numpy() < sel_x
+
+    def prune(lo, up):
+        # a partition can only contain minx < sel_x rows if its own
+        # envelope starts left of sel_x
+        return lo[:, 0] < sel_x
+
+    ds_p, n_read, n_total = P.query_index_with_selection_function(
+        path, keep_rows, prune_partition=prune
+    )
+    ds_full, n_read_full, _ = P.query_index_with_selection_function(path, keep_rows)
+    assert n_read < n_total, "prune did not skip any partition"
+    assert n_read_full == n_total
+    got = np.sort(ds_p.to_pandas()["id"].to_numpy())
+    want = np.sort(ds_full.to_pandas()["id"].to_numpy())
+    np.testing.assert_array_equal(got, want)
+    assert len(got) > 0
