@@ -135,6 +135,47 @@ def _pipelines():
         )
         return ops.locate_in_envelope_multi(FX.rects_ds(SF_DIR), boxes).count()
 
+    # ---- training-data (LLM) ops: the likely 100-TB workload ------------
+    from geograft import annops as A
+    from geograft import eventops as EV
+    from geograft import textops as T
+
+    def _docs():
+        return read_parquet_sized(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+
+    def q_dedup_exact():
+        return T.dedup_exact(_docs()).count()
+
+    def q_neardup_minhash():
+        return T.neardup_minhash(_docs(), tau=0.8).count()
+
+    def q_jaccard_pairs():
+        return T.jaccard_pairs_exact(_docs(), tau=0.5).count()
+
+    ANN_QN = 64
+
+    def q_ann_topk():
+        import pyarrow.parquet as pq_
+
+        q = pq_.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, ANN_QN)
+        qv = A._emb_matrix(q)
+        emb = read_parquet_sized(f"{SF_DIR}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+        return len(A.cosine_topk(emb, qv, k=10))
+
+    def q_asof():
+        out = EV.asof_join(
+            read_parquet_sized(f"{SF_DIR}/events.parquet",
+                               columns=["event_id", "ts", "user_id"]),
+            read_parquet_sized(f"{SF_DIR}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"]),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_cols=["o_orderdate"],
+        )
+        return out.count()
+
     pipes = {
         "extract_tiles": q_extract_tiles,
         "spatial_join": q_spatial_join,
@@ -143,6 +184,11 @@ def _pipelines():
         "knn": q_knn,
         "knn_adhoc": q_knn_adhoc,
         "envelope_scan": q_envelope_scan,
+        "dedup_exact": q_dedup_exact,
+        "neardup_minhash": q_neardup_minhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_cosine_topk": q_ann_topk,
+        "asof_join": q_asof,
     }
     pipes["__knn_qn__"] = KNN_QN
     return pipes
@@ -171,7 +217,8 @@ def run_bench() -> dict:
     # warm the page cache so we measure compute + shuffle, not first disk read
     import pyarrow.parquet as pq
 
-    for t in ("events", "lineitem", "supplier", "part"):
+    for t in ("events", "lineitem", "supplier", "part",
+              "documents", "embeddings", "orders"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
     # warm-up lap (untimed): spawns the worker pool and imports numpy/
@@ -206,10 +253,14 @@ def run_bench() -> dict:
     import pyarrow.dataset as pads
 
     n_events = pads.dataset(f"{SF_DIR}/events.parquet").count_rows()
+    n_docs = pads.dataset(f"{SF_DIR}/documents.parquet").count_rows()
     thr = {
         "extract_docs_per_sec": round(n_events / raw_times["extract_tiles"], 1),
         "self_join_pairs_per_sec": round(rows["self_join"] / raw_times["self_join"], 1),
         "knn_queries_per_sec": round(knn_qn / raw_times["knn"], 1),
+        "dedup_docs_per_sec": round(n_docs / raw_times["dedup_exact"], 1),
+        "minhash_docs_per_sec": round(n_docs / raw_times["neardup_minhash"], 1),
+        "asof_rows_per_sec": round(n_events / raw_times["asof_join"], 1),
     }
     return {
         "metric": "geograft headline pipelines wall-clock",

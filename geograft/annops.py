@@ -229,8 +229,7 @@ def embedding_neardup(ds, threshold: float = 0.95,
     uniq = pairs.groupby("__pb").map_groups(dd, batch_format="pandas")
 
     emb = ds.select_columns([id_col, emb_col])
-    with_a = T.attach_lookup(uniq, emb, "a", id_col, {"__va": emb_col})
-    with_b = T.attach_lookup(with_a, emb, "b", id_col, {"__vb": emb_col})
+    with_b = T.attach_pair_lookup(uniq, emb, id_col, emb_col, "__va", "__vb")
 
     def fin(b: pa.Table) -> pa.Table:
         if len(b) == 0:

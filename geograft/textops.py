@@ -406,6 +406,114 @@ def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
     return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
+                       out_a: str, out_b: str):
+    """Attach one lookup column to BOTH endpoints of an (a, b) pair
+    stream with a SINGLE pass over the lookup table: each pair is keyed
+    twice (once per endpoint) into the same coarse hash(key) shuffle as
+    the lookup rows; the two half-annotated copies are then pivoted
+    back together on a PAIRS-sized pair-hash shuffle. The big table is
+    exchanged once — two attach_lookup passes would shuffle it twice.
+    """
+    lk_schema = lookup_ds.schema()
+    lk_type = dict(zip(lk_schema.names, lk_schema.types))[lookup_col]
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        if len(b) == 0 or "a" not in b.column_names:
+            return pa.table({"__k": pa.array([], type=pa.int64()),
+                             "a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "__slot": pa.array([], type=pa.int8()),
+                             "__v": pa.array([], type=lk_type),
+                             "__bucket": pa.array([], type=pa.int64())})
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        keys = np.concatenate([a, bb])
+        out = {
+            "__k": pa.array(keys.astype(np.int64)),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([bb, bb])),
+            "__slot": pa.array(
+                np.repeat(np.array([0, 1], dtype=np.int8), len(a))),
+            "__v": pa.nulls(2 * len(a), type=lk_type),
+            "__bucket": pa.array(
+                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(N_COARSE)).astype(np.int64)),
+        }
+        return pa.table(out)
+
+    def tag_lookup(b: pa.Table) -> pa.Table:
+        keys = b.column(lookup_key).to_numpy()
+        n = len(b)
+        return pa.table({
+            "__k": pa.array(keys.astype(np.int64)),
+            "a": pa.nulls(n, type=pa.int64()),
+            "b": pa.nulls(n, type=pa.int64()),
+            "__slot": pa.array(np.full(n, 2, dtype=np.int8)),
+            "__v": b.column(lookup_col),
+            "__bucket": pa.array(
+                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 % np.uint64(N_COARSE)).astype(np.int64)),
+        })
+
+    cols = ["__k", "a", "b", "__slot", "__v", "__bucket"]
+    both = (
+        pairs_ds.map_batches(tag_pairs, batch_format="pyarrow", batch_size=None)
+        .select_columns(cols)
+        .union(
+            lookup_ds.map_batches(tag_lookup, batch_format="pyarrow", batch_size=None)
+            .select_columns(cols)
+        )
+    )
+
+    def annotate(g: pa.Table) -> pa.Table:
+        """Attach the lookup value to each half-pair in this bucket;
+        emit pair-hash-keyed halves for the pivot."""
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "__slot": pa.array([], type=pa.int8()),
+                          "__v": pa.array([], type=lk_type),
+                          "__pb": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "__slot" not in g.column_names:
+            return empty
+        slot = g.column("__slot").to_numpy()
+        halves = g.filter(pa.array(slot != 2)).select(["__k", "a", "b", "__slot"]).to_pandas()
+        if len(halves) == 0:
+            return empty
+        lk = g.filter(pa.array(slot == 2)).select(["__k", "__v"]).to_pandas()
+        merged = halves.merge(lk, on="__k", how="inner")
+        a = merged["a"].to_numpy(dtype=np.int64)
+        b = merged["b"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "a": a, "b": b,
+            "__slot": pa.array(merged["__slot"].to_numpy(dtype=np.int8)),
+            "__v": pa.array(merged["__v"], type=lk_type, from_pandas=True),
+            "__pb": pa.array(_pair_bucket(a, b)),
+        })
+
+    halves = both.groupby("__bucket").map_groups(annotate, batch_format="pyarrow")
+
+    def pivot(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          out_a: pa.array([], type=lk_type),
+                          out_b: pa.array([], type=lk_type)})
+        if g.num_rows == 0 or "__slot" not in g.column_names:
+            return empty
+        slot = g.column("__slot").to_numpy()
+        ga = g.filter(pa.array(slot == 0)).select(["a", "b", "__v"]).to_pandas()
+        gb = g.filter(pa.array(slot == 1)).select(["a", "b", "__v"]).to_pandas()
+        merged = ga.merge(gb, on=["a", "b"], suffixes=("_a", "_b"))
+        return pa.table({
+            "a": pa.array(merged["a"].to_numpy(dtype=np.int64)),
+            "b": pa.array(merged["b"].to_numpy(dtype=np.int64)),
+            out_a: pa.array(merged["__v_a"], type=lk_type, from_pandas=True),
+            out_b: pa.array(merged["__v_b"], type=lk_type, from_pandas=True),
+        })
+
+    return halves.groupby("__pb").map_groups(pivot, batch_format="pyarrow")
+
+
 def _exact_jaccard_cols(text_a, text_b, k: int = 3) -> np.ndarray:
     """Row-wise exact k-gram Jaccard between two string columns —
     vectorized over ALL pairs in the batch (shingle both columns flat,
@@ -431,12 +539,11 @@ def _exact_jaccard_cols(text_a, text_b, k: int = 3) -> np.ndarray:
 def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
                          text_col: str = "text", id_col: str = "doc_id"):
     """Exact verification stage for candidate (a, b) pairs: attach both
-    texts via two coarse-bucket hash joins against the docs table (no
+    texts via ONE coarse-bucket hash join pass over the docs table (no
     text ever rides the candidate shuffle, no driver state), then one
     vectorized exact-Jaccard kernel + threshold filter."""
     docs = docs_ds.select_columns([id_col, text_col])
-    with_a = attach_lookup(pairs_ds, docs, "a", id_col, {"__ta": text_col})
-    with_b = attach_lookup(with_a, docs, "b", id_col, {"__tb": text_col})
+    with_b = attach_pair_lookup(pairs_ds, docs, id_col, text_col, "__ta", "__tb")
 
     def fin(b: pa.Table) -> pa.Table:
         if len(b) == 0:
