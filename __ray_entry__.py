@@ -180,6 +180,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FX.join_left_ds(sf), FX.join_right_ds(sf), level=4, bounds=FX.JOIN_BOUNDS
         )
 
+    def spatial_join_payload(sf):
+        # payload forwarding: the reference yields the full objects
+        # (t, u) (rtree.rs:522-534); carry_* forwards chosen columns
+        return ops.spatial_join(
+            FX.join_left_ds(sf), FX.join_right_ds(sf), level=4,
+            bounds=FX.JOIN_BOUNDS, carry_left=("miny",), carry_right=("maxx",),
+        )
+
     def spatial_join_3d(sf):
         # dimension-generic join routing (point.rs:295-323): 3-axis
         # Morton replication + per-cell dual PTree + owner-cell dedup
@@ -427,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_neighbors_ties": nearest_neighbors_ties,
         "pop_nearest_neighbor": pop_nearest_neighbor,
         "spatial_join": spatial_join,
+        "spatial_join_payload": spatial_join_payload,
         "spatial_join_3d": spatial_join_3d,
         "knn_3d": knn_3d,
         "within_distance_3d": within_distance_3d,
@@ -526,6 +535,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spatial_join": (
             f"SELECT a.id AS left_id, b.id AS right_id FROM ({JL}) a, ({JR}) b "
+            "WHERE a.minx <= b.maxx AND a.maxx >= b.minx "
+            "AND a.miny <= b.maxy AND a.maxy >= b.miny"
+        ),
+        "spatial_join_payload": (
+            f"SELECT a.id AS left_id, b.id AS right_id, a.miny AS left_miny, "
+            f"b.maxx AS right_maxx FROM ({JL}) a, ({JR}) b "
             "WHERE a.minx <= b.maxx AND a.maxx >= b.minx "
             "AND a.miny <= b.maxy AND a.maxy >= b.miny"
         ),

@@ -309,8 +309,42 @@ def ensure_scaled_input(src_dir: str, mult: int) -> str:
     for i in range(n_li_files):
         pq.write_table(li.slice(i * step, step),
                        os.path.join(li_dir, f"part-{i:03d}.parquet"))
-    for t in ("supplier", "part", "orders", "customer",
-              "documents", "embeddings", "region", "nation"):
+    # documents: mult replicas with per-replica unique doc_ids; a
+    # replica token is interleaved between every pair of tokens so
+    # replicas share ZERO shingles (cross-replica candidate pairs would
+    # otherwise grow quadratically in mult) while within-replica
+    # dup/near-dup structure is preserved — the dedup/minhash/jaccard
+    # benches then scale with real, linear parallel work
+    docs = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    d_ids = docs.column("doc_id").to_numpy()
+    d_txt = docs.column("text").combine_chunks().cast(pa.string())
+    doc_dir = os.path.join(out_dir, "documents.parquet")
+    os.makedirs(doc_dir, exist_ok=True)
+    import pyarrow.compute as pc
+
+    for r in range(mult):
+        t = {c: docs.column(c) for c in docs.column_names}
+        t["doc_id"] = pa.array(d_ids + r * 10_000_000)
+        t["text"] = pc.replace_substring(d_txt, " ", f" q{r} ")
+        pq.write_table(pa.table(t), os.path.join(doc_dir, f"part-{r:03d}.parquet"))
+    # embeddings: mult replicas, ids offset, first component nudged
+    emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    e_ids = emb.column("vec_id").to_numpy()
+    emb_dir = os.path.join(out_dir, "embeddings.parquet")
+    os.makedirs(emb_dir, exist_ok=True)
+    flat = emb.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.float32)
+    d = len(flat) // len(e_ids)
+    for r in range(mult):
+        fl = flat.copy()
+        fl[0::d] += np.float32(r) * np.float32(0.01)
+        t = {c: emb.column(c) for c in emb.column_names}
+        t["vec_id"] = pa.array(e_ids + r * 10_000_000)
+        t["embedding"] = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, len(fl) + 1, d, dtype=np.int32)), pa.array(fl)
+        )
+        pq.write_table(pa.table(t), os.path.join(emb_dir, f"part-{r:03d}.parquet"))
+    for t in ("supplier", "part", "orders", "customer", "region", "nation"):
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)

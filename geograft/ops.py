@@ -1027,6 +1027,7 @@ def spatial_join(
     left, right, level: int, bounds: G.Bounds,
     left_id: str = "left_id", right_id: str = "right_id",
     id_col: str = "id",
+    carry_left: tuple[str, ...] = (), carry_right: tuple[str, ...] = (),
 ):
     """intersection_candidates_with_other_tree, distributed.
 
@@ -1039,25 +1040,51 @@ def spatial_join(
     dual traversal (intersection_iterator.rs:15-104).
 
     Sides must carry ``id_col`` + envelope columns. Output:
-    (left_id, right_id).
+    (left_id, right_id) plus, when ``carry_left`` / ``carry_right``
+    name payload columns, one ``left_<col>`` / ``right_<col>`` column
+    per pair — the Dataset form of the reference yielding the full
+    objects ``(t, u)`` (rtree.rs:522-534). Payloads ride the one
+    replication shuffle; prune them to what downstream actually needs.
     """
+    l_schema = left.schema() if carry_left else None
+    r_schema = right.schema() if carry_right else None
+    l_types = {c: dict(zip(l_schema.names, l_schema.types))[c]
+               for c in carry_left} if carry_left else {}
+    r_types = {c: dict(zip(r_schema.names, r_schema.types))[c]
+               for c in carry_right} if carry_right else {}
+    out_carry = [(f"left_{c}", c, 0, t) for c, t in l_types.items()] + \
+                [(f"right_{c}", c, 1, t) for c, t in r_types.items()]
 
-    def prep(side_tag: int):
+    def prep(side_tag: int, carry: tuple[str, ...], other: dict):
         def f(batch: pa.Table) -> pa.Table:
-            t = batch.select([id_col, *ENV_COLS])
+            # dedupe: a carry column may itself be an envelope column
+            t = batch.select(list(dict.fromkeys([id_col, *ENV_COLS, *carry])))
             t = replicate_to_cells(t, level, bounds)
-            return t.append_column("side", pa.array(np.full(len(t), side_tag, dtype=np.int8)))
+            # union needs aligned schemas: this side's carries renamed to
+            # their output name, the other side's padded with nulls
+            out = {id_col: t.column(id_col)}
+            for c in ENV_COLS:
+                out[c] = t.column(c)
+            for name, src, side_of, typ in out_carry:
+                out[name] = (t.column(src) if side_of == side_tag
+                             else pa.nulls(len(t), type=typ))
+            out["cell_id"] = t.column("cell_id")
+            out["side"] = pa.array(np.full(len(t), side_tag, dtype=np.int8))
+            return pa.table(out)
 
         return f
 
-    lrep = left.map_batches(prep(0), batch_format="pyarrow", batch_size=None)
-    rrep = right.map_batches(prep(1), batch_format="pyarrow", batch_size=None)
+    lrep = left.map_batches(prep(0, carry_left, r_types), batch_format="pyarrow", batch_size=None)
+    rrep = right.map_batches(prep(1, carry_right, l_types), batch_format="pyarrow", batch_size=None)
     both = lrep.union(rrep)
 
     def join_bucket(group: pa.Table) -> pa.Table:
         """Dual-tree join for every cell co-located in this bucket."""
-        empty = pa.table({left_id: pa.array([], type=pa.int64()),
-                          right_id: pa.array([], type=pa.int64())})
+        empty = pa.table(
+            {left_id: pa.array([], type=pa.int64()),
+             right_id: pa.array([], type=pa.int64())}
+            | {name: pa.array([], type=typ) for name, _, _, typ in out_carry}
+        )
         if len(group) == 0 or "cell_id" not in group.column_names:
             return empty
         side = group.column("side").to_numpy()
@@ -1067,7 +1094,7 @@ def spatial_join(
         order = np.argsort(cell, kind="stable")
         cell_s = cell[order]
         bnd = np.concatenate([[0], np.nonzero(cell_s[1:] != cell_s[:-1])[0] + 1, [len(cell_s)]])
-        out_l, out_r = [], []
+        out_l, out_r, keep_l, keep_r = [], [], [], []
         for gi in range(len(bnd) - 1):
             rows = order[bnd[gi] : bnd[gi + 1]]
             lmask = side[rows] == 0
@@ -1086,10 +1113,18 @@ def spatial_join(
             keep = owner == this_cell
             out_l.append(ids[ga[keep]])
             out_r.append(ids[gb[keep]])
+            if out_carry:
+                keep_l.append(ga[keep])
+                keep_r.append(gb[keep])
         if not out_l:
             return empty
-        return pa.table({left_id: np.concatenate(out_l),
-                         right_id: np.concatenate(out_r)})
+        result = {left_id: np.concatenate(out_l), right_id: np.concatenate(out_r)}
+        if out_carry:
+            gl = pa.array(np.concatenate(keep_l))
+            gr = pa.array(np.concatenate(keep_r))
+            for name, _, side_of, _typ in out_carry:
+                result[name] = group.column(name).take(gl if side_of == 0 else gr)
+        return pa.table(result)
 
     return coarse_group_by_cell(both, join_bucket)
 

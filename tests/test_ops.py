@@ -319,3 +319,43 @@ def test_remove_round_trip_with_duplicates(ray_session):
     )
     assert sorted(drained.to_pandas()["id"]) == [4, 5]
     assert sorted(kept.to_pandas()["id"]) == [2]
+
+
+def test_spatial_join_payload_forwarding(ray_session):
+    """carry_left/carry_right forward payload columns on each pair —
+    the Dataset form of intersection_candidates yielding (t, u)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import grid as G
+    from geograft import ops
+
+    b = G.Bounds(0.0, 0.0, 10.0, 10.0)
+    rng = np.random.default_rng(9)
+    n = 40
+    lo = rng.uniform(0, 9, (n, 2))
+    left = pa.table({"id": np.arange(n, dtype=np.int64),
+                     "minx": lo[:, 0], "miny": lo[:, 1],
+                     "maxx": lo[:, 0] + 1.0, "maxy": lo[:, 1] + 1.0,
+                     "tag": np.arange(n, dtype=np.int64) * 10})
+    hi = rng.uniform(0, 9, (n, 2))
+    right = pa.table({"id": np.arange(100, 100 + n, dtype=np.int64),
+                      "minx": hi[:, 0], "miny": hi[:, 1],
+                      "maxx": hi[:, 0] + 1.0, "maxy": hi[:, 1] + 1.0,
+                      "wt": rng.uniform(0, 1, n)})
+    out = ops.spatial_join(
+        rd.from_arrow(left), rd.from_arrow(right), level=2, bounds=b,
+        carry_left=("tag",), carry_right=("wt",),
+    ).to_pandas()
+    # brute force with payloads
+    want = {}
+    for i in range(n):
+        for j in range(n):
+            if (lo[i] <= hi[j] + 1.0).all() and (lo[i] + 1.0 >= hi[j]).all():
+                want[(i, 100 + j)] = (i * 10, hi[j])
+    got = {(r.left_id, r.right_id): (r.left_tag, r.right_wt)
+           for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k, (tag, _) in got.items():
+        assert tag == want[k][0]
