@@ -208,6 +208,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FX.points3d_ds(sf), ["x", "y", "z"], WD3_Q[:3], WD3_Q[3]
         ).select_columns(["id"])
 
+    def _circles(sf):
+        # custom-geometry registry (object.rs:83-200; Circle example at
+        # object.rs:100-153): register once, then every distance/
+        # containment operator works on the new kind with no extra wiring
+        from geograft import geom
+
+        geom.register_circle()
+        return FX.circles_ds(sf)
+
+    def circle_within_distance(sf):
+        # PointDistance::distance_2 for a registered kind through
+        # locate_within_distance (rtree.rs:1053-1060)
+        return ops.locate_within_distance(_circles(sf), *WD_Q).select_columns(["id"])
+
+    def circle_at_point(sf):
+        # exact contains_point for a registered kind (object.rs:134-137)
+        return ops.locate_all_at_point(_circles(sf), *POLY_Q).select_columns(["id"])
+
     def drain_within_distance(sf):
         # surviving side (rtree.rs:1066-1073)
         _, surviving = ops.drain_within_distance(_points(sf), *WD_Q)
@@ -439,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_3d": spatial_join_3d,
         "knn_3d": knn_3d,
         "within_distance_3d": within_distance_3d,
+        "circle_within_distance": circle_within_distance,
+        "circle_at_point": circle_at_point,
         "drain_in_envelope": drain_in_envelope,
         "drain_within_distance": drain_within_distance,
         "drain_limit": drain_limit,
@@ -560,6 +580,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id FROM ({FX.POINTS3D_SQL}) "
             f"WHERE (x-{WD3_Q[0]})*(x-{WD3_Q[0]}) + (y-{WD3_Q[1]})*(y-{WD3_Q[1]}) "
             f"+ (z-{WD3_Q[2]})*(z-{WD3_Q[2]}) <= {WD3_Q[3]}"
+        ),
+        "circle_within_distance": (
+            f"WITH d AS (SELECT id, GREATEST(SQRT(({wx}-cx)*({wx}-cx) + "
+            f"({wy}-cy)*({wy}-cy)) - r, 0.0) AS dd FROM ({FX.CIRCLES_SQL})) "
+            f"SELECT id FROM d WHERE dd*dd <= {wr2}"
+        ),
+        "circle_at_point": (
+            f"SELECT id FROM ({FX.CIRCLES_SQL}) "
+            f"WHERE ({POLY_Q[0]}-cx)*({POLY_Q[0]}-cx) + "
+            f"({POLY_Q[1]}-cy)*({POLY_Q[1]}-cy) <= r*r"
         ),
         "drain_in_envelope": (
             f"SELECT id FROM ({P}) WHERE NOT (x BETWEEN {ex0} AND {ex1} "

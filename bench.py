@@ -310,11 +310,12 @@ def ensure_scaled_input(src_dir: str, mult: int) -> str:
         pq.write_table(li.slice(i * step, step),
                        os.path.join(li_dir, f"part-{i:03d}.parquet"))
     # documents: mult replicas with per-replica unique doc_ids; a
-    # replica token is interleaved between every pair of tokens so
-    # replicas share ZERO shingles (cross-replica candidate pairs would
-    # otherwise grow quadratically in mult) while within-replica
-    # dup/near-dup structure is preserved — the dedup/minhash/jaccard
-    # benches then scale with real, linear parallel work
+    # replica marker is FUSED onto every token (suffix, not a new
+    # token!) so replicas share ZERO shingles while each replica's
+    # shingle document-frequency distribution matches the original
+    # corpus exactly — work scales linearly in mult. (Inserting marker
+    # TOKENS instead creates `marker word marker` unigram shingles
+    # shared by thousands of docs: the O(df^2) hot-shingle blowup.)
     docs = pq.read_table(os.path.join(src_dir, "documents.parquet"))
     d_ids = docs.column("doc_id").to_numpy()
     d_txt = docs.column("text").combine_chunks().cast(pa.string())
@@ -325,7 +326,9 @@ def ensure_scaled_input(src_dir: str, mult: int) -> str:
     for r in range(mult):
         t = {c: docs.column(c) for c in docs.column_names}
         t["doc_id"] = pa.array(d_ids + r * 10_000_000)
-        t["text"] = pc.replace_substring(d_txt, " ", f" q{r} ")
+        t["text"] = pc.binary_join_element_wise(
+            pc.replace_substring(d_txt, " ", f"q{r} "), f"q{r}", ""
+        )
         pq.write_table(pa.table(t), os.path.join(doc_dir, f"part-{r:03d}.parquet"))
     # embeddings: mult replicas, ids offset, first component nudged
     emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))

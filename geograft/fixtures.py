@@ -148,6 +148,43 @@ def join_right_ds(sf_dir: str):
 
 JOIN_BOUNDS = G.Bounds(-1100.0, -1.0, 12000.0, 40.0)
 
+# ---- circles (custom-geometry registry, object.rs:100-153) ----------------
+
+# The reference's own RTreeObject/PointDistance worked example is a
+# Circle; this fixture derives circles from events: center = (value,
+# user_id), radius = 1 + event_id % 5. Row layout per geom.py: x0/y0 =
+# center, x1 = radius.
+CIRCLES_SQL = (
+    "SELECT event_id AS id, value AS cx, CAST(user_id AS DOUBLE) AS cy, "
+    "1.0 + CAST(event_id % 5 AS DOUBLE) AS r FROM events"
+)
+
+
+def circles_ds(sf_dir: str):
+    from .io import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value", "user_id"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        cx = b.column("value").to_numpy()
+        cy = b.column("user_id").to_numpy().astype(np.float64)
+        r = 1.0 + (b.column("event_id").to_numpy() % 5).astype(np.float64)
+        n = len(b)
+        return pa.table(
+            {
+                "id": b.column("event_id"),
+                "minx": cx - r, "miny": cy - r,
+                "maxx": cx + r, "maxy": cy + r,
+                "geom_kind": pa.array(["circle"] * n),
+                "x0": cx, "y0": cy, "x1": r, "y1": np.zeros(n),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 # ---- 3-d fixtures (dimension-generic surface, point.rs:295-323) -----------
 
 POINTS3D_SQL = (

@@ -338,6 +338,7 @@ def locate_all_at_point(ds, x, y) -> "ray.data.Dataset":
     the containment test.
     """
     q = np.array([x, y])
+    reg = _geom_registry()
 
     def f(batch: pa.Table) -> pa.Table:
         lo, up = _env_arrays(batch)
@@ -351,6 +352,15 @@ def locate_all_at_point(ds, x, y) -> "ray.data.Dataset":
                 d2 = K.line_distance_2(p0[is_line], p1[is_line], q)
                 line_keep = d2 <= 0.0
                 keep[is_line] &= line_keep
+            # registered custom kinds: exact contains_point, defaulting
+            # to distance_2 <= 0 (the trait default, object.rs:154-200)
+            for kind, spec in reg.items():
+                m = gk == kind
+                if m.any():
+                    if spec.contains_point is not None:
+                        keep[m] &= spec.contains_point(batch, m, q)
+                    else:
+                        keep[m] &= spec.distance_2(batch, m, q) <= 0.0
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
@@ -361,15 +371,25 @@ def locate_within_distance(ds, x, y, r2) -> "ray.data.Dataset":
     exact distance (point: euclidean^2; rect: clamped envelope distance,
     rectangle.rs:82-94; line: segment distance, line.rs:97-113)."""
     q = np.array([x, y])
+    reg = _geom_registry()
 
     def f(batch: pa.Table) -> pa.Table:
-        d2 = _exact_distance_2(batch, q)
+        d2 = _exact_distance_2(batch, q, reg)
         return batch.filter(pa.array(d2 <= r2))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
-def _exact_distance_2(batch: pa.Table, q: np.ndarray) -> np.ndarray:
+def _geom_registry():
+    """Driver-side snapshot of the custom-geometry registry — captured
+    into per-batch closures so the specs travel to Ray workers (whose
+    own geograft.geom module starts with an empty REGISTRY)."""
+    from .geom import registry_snapshot
+
+    return registry_snapshot()
+
+
+def _exact_distance_2(batch: pa.Table, q: np.ndarray, reg=None) -> np.ndarray:
     lo, up = _env_arrays(batch)
     d2 = K.env_distance_2(lo, up, q)
     if "geom_kind" in batch.column_names and len(batch) > 0:
@@ -379,6 +399,13 @@ def _exact_distance_2(batch: pa.Table, q: np.ndarray) -> np.ndarray:
             p0 = np.c_[batch.column("x0").to_numpy(), batch.column("y0").to_numpy()]
             p1 = np.c_[batch.column("x1").to_numpy(), batch.column("y1").to_numpy()]
             d2[is_line] = K.line_distance_2(p0[is_line], p1[is_line], q)
+        # registered custom kinds (PointDistance impls, object.rs:83-200);
+        # reg is the construction-time snapshot shipped in the closure
+        if reg:
+            for kind, spec in reg.items():
+                m = gk == kind
+                if m.any():
+                    d2[m] = spec.distance_2(batch, m, q)
     return d2
 
 
@@ -439,10 +466,11 @@ def drain_within_distance(ds, x, y, r2):
     """drain_within_distance (rtree.rs:1066-1073): split into
     (drained = distance_2 <= r2, surviving = rest), one pass each."""
     q = np.array([x, y])
+    reg = _geom_registry()
 
     def mk(neg: bool):
         def f(batch: pa.Table) -> pa.Table:
-            m = _exact_distance_2(batch, q) <= r2
+            m = _exact_distance_2(batch, q, reg) <= r2
             return batch.filter(pa.array(~m if neg else m))
 
         return f
@@ -586,9 +614,10 @@ def nn_stream(ds, x, y, id_col: str = "id"):
     (dist2, id). A distributed sort — use only when the full ranking is
     wanted; k-bounded consumers should use knn()."""
     q = np.array([x, y])
+    reg = _geom_registry()
 
     def f(batch: pa.Table) -> pa.Table:
-        return batch.append_column("dist2", pa.array(_exact_distance_2(batch, q)))
+        return batch.append_column("dist2", pa.array(_exact_distance_2(batch, q, reg)))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None).sort(
         ["dist2", id_col]
@@ -793,11 +822,12 @@ def nearest_neighbors_all_ties(ds, x: float, y: float, id_col: str = "id"):
     distance_2 equals the minimum — exact f64 equality, preserved because
     both the candidate pass and the final filter use the same kernel."""
     q = np.array([x, y])
+    reg = _geom_registry()
 
     def local_min(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        d2 = _exact_distance_2(batch, q)
+        d2 = _exact_distance_2(batch, q, reg)
         m = d2.min()
         keep = d2 == m
         return batch.filter(pa.array(keep)).append_column("dist2", pa.array(d2[keep]))
