@@ -168,6 +168,74 @@ class PTree:
         keep = K.env_distance_2(self.lower[cand], self.upper[cand], pt) <= r2
         return cand[keep]
 
+    def locate_batch(self, qlo, qhi=None, mode: str = "intersects",
+                     r2: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Answer Q queries in ONE level-wise sweep of (query, node)
+        pairs — the batched counterpart of the single-query locate_*
+        methods above, with identical pruning (should_unpack_parent) and
+        leaf predicates, so answers are set-equal per query.
+
+        mode: "intersects" | "contained" | "at_point" | "within".
+        For "at_point" qlo holds the points; for "within" qlo holds the
+        points and r2 the per-query squared radii. Returns
+        (q_idx, row_idx) pairs; q_idx indexes into the input arrays.
+
+        Per-query asymptotics match the pruned descent, but every numpy
+        op spans ALL active pairs — this is what lets an actor serve a
+        routed batch of thousands of queries without a Python-level
+        per-query loop.
+        """
+        qlo = np.atleast_2d(np.asarray(qlo, dtype=np.float64))
+        if qhi is not None:
+            qhi = np.atleast_2d(np.asarray(qhi, dtype=np.float64))
+        if r2 is not None:
+            r2 = np.asarray(r2, dtype=np.float64)
+        nq = len(qlo)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if self.n == 0 or nq == 0:
+            return empty
+
+        def prune(lo, up, fq):
+            if mode == "within":
+                return K.env_distance_2(lo, up, qlo[fq]) <= r2[fq]
+            if mode == "at_point":
+                return K.env_contains_point(lo, up, qlo[fq])
+            return K.env_intersects(lo, up, qlo[fq], qhi[fq])
+
+        nroot = len(self.levels[-1][0])
+        fq = np.repeat(np.arange(nq, dtype=np.int64), nroot)
+        fn = np.tile(np.arange(nroot, dtype=np.int64), nq)
+        for li in range(len(self.levels) - 1, -1, -1):
+            lo, up = self.levels[li]
+            m = prune(lo[fn], up[fn], fq)
+            fq, fn = fq[m], fn[m]
+            if len(fq) == 0:
+                return empty
+            if li > 0:
+                below = len(self.levels[li - 1][0])
+                starts = fn * self.max_size
+                lens = np.minimum(starts + self.max_size, below) - starts
+                total = int(lens.sum())
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(lens) - lens, lens)
+                fn = pos + np.repeat(starts, lens)
+                fq = np.repeat(fq, lens)
+        starts = self.leaf_offsets[fn]
+        lens = self.leaf_offsets[fn + 1] - starts
+        total = int(lens.sum())
+        pos = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+        rows = self.order[pos + np.repeat(starts, lens)]
+        rq = np.repeat(fq, lens)
+        if mode == "within":
+            keep = K.env_distance_2(self.lower[rows], self.upper[rows], qlo[rq]) <= r2[rq]
+        elif mode == "at_point":
+            keep = K.env_contains_point(self.lower[rows], self.upper[rows], qlo[rq])
+        elif mode == "contained":
+            keep = K.env_contains_env(qlo[rq], qhi[rq], self.lower[rows], self.upper[rows])
+        else:
+            keep = K.env_intersects(self.lower[rows], self.upper[rows], qlo[rq], qhi[rq])
+        return rq[keep], rows[keep]
+
     def knn(self, pt, k: int) -> tuple[np.ndarray, np.ndarray]:
         """First k of nearest_neighbor_iter (rtree.rs:1094-1122): rows
         sorted by distance_2, ties broken by row index for determinism

@@ -74,9 +74,16 @@ class PartitionQuerier:
     AT_POINT = 2       # point in (minx, miny)
     WITHIN_DIST = 3    # point in (minx, miny), r2 in maxx
 
+    _MODE_NAMES = {INTERSECTS: "intersects", CONTAINED: "contained",
+                   AT_POINT: "at_point", WITHIN_DIST: "within"}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """batch: routed queries (cell_id, qid, minx, miny, maxx, maxy,
-        mode:int8) -> (qid, id) hits from this partition."""
+        mode:int8) -> (qid, id) hits from this partition.
+
+        One PTree.locate_batch call per (cell, mode) group — all queries
+        of a group traverse the tree together in vectorized frontiers;
+        no Python-level per-query loop."""
         cells = batch.column("cell_id").to_numpy()
         qid = batch.column("qid").to_numpy()
         qlo = np.c_[batch.column("minx").to_numpy(), batch.column("miny").to_numpy()]
@@ -86,18 +93,15 @@ class PartitionQuerier:
         for cid in np.unique(cells):
             ids, tree = self._tree(int(cid))
             rows = np.nonzero(cells == cid)[0]
-            for r in rows:
-                if mode[r] == self.CONTAINED:
-                    idx = tree.locate_in_envelope(qlo[r], qhi[r])
-                elif mode[r] == self.AT_POINT:
-                    idx = tree.locate_all_at_point(qlo[r])
-                elif mode[r] == self.WITHIN_DIST:
-                    idx = tree.locate_within_distance(qlo[r], qhi[r, 0])
-                else:
-                    idx = tree.locate_in_envelope_intersecting(qlo[r], qhi[r])
-                if len(idx):
-                    out_q.append(np.full(len(idx), qid[r], dtype=np.int64))
-                    out_i.append(ids[idx])
+            for mv in np.unique(mode[rows]):
+                sub = rows[mode[rows] == mv]
+                rq, ridx = tree.locate_batch(
+                    qlo[sub], qhi[sub], self._MODE_NAMES[int(mv)],
+                    r2=qhi[sub, 0] if mv == self.WITHIN_DIST else None,
+                )
+                if len(rq):
+                    out_q.append(qid[sub][rq])
+                    out_i.append(ids[ridx])
         if not out_q:
             return pa.table({"qid": pa.array([], type=pa.int64()),
                              "id": pa.array([], type=pa.int64())})

@@ -151,3 +151,48 @@ def test_integer_coordinates(rng):
     got = t.locate_all_at_point(q)
     want = np.nonzero((pts == q).all(axis=1))[0]
     np.testing.assert_array_equal(np.sort(got), want)
+
+
+def test_locate_batch_matches_single_query_paths(rng):
+    # the batched multi-frontier traversal must be answer-set-equal to
+    # the single-query locate_* methods, mode by mode
+    lo, up = random_rects(rng, 800, extent=0.08)
+    t = PTree(lo, up)
+    nq = 40
+    qlo, qhi = random_rects(np.random.default_rng(7), nq, extent=0.25)
+    pts = np.random.default_rng(8).random((nq, 2))
+    r2 = np.random.default_rng(9).uniform(0.001, 0.05, nq)
+
+    rq, rr = t.locate_batch(qlo, qhi, "intersects")
+    for q in range(nq):
+        want = t.locate_in_envelope_intersecting(qlo[q], qhi[q])
+        np.testing.assert_array_equal(np.sort(rr[rq == q]), np.sort(want))
+
+    rq, rr = t.locate_batch(qlo, qhi, "contained")
+    for q in range(nq):
+        want = t.locate_in_envelope(qlo[q], qhi[q])
+        np.testing.assert_array_equal(np.sort(rr[rq == q]), np.sort(want))
+
+    rq, rr = t.locate_batch(pts, mode="at_point")
+    for q in range(nq):
+        want = t.locate_all_at_point(pts[q])
+        np.testing.assert_array_equal(np.sort(rr[rq == q]), np.sort(want))
+
+    rq, rr = t.locate_batch(pts, mode="within", r2=r2)
+    for q in range(nq):
+        want = t.locate_within_distance(pts[q], r2[q])
+        np.testing.assert_array_equal(np.sort(rr[rq == q]), np.sort(want))
+
+
+def test_locate_batch_empty_cases(rng):
+    lo, up = random_rects(rng, 50)
+    t = PTree(lo, up)
+    rq, rr = t.locate_batch(np.empty((0, 2)), np.empty((0, 2)), "intersects")
+    assert len(rq) == 0 and len(rr) == 0
+    # queries far outside: pruned at the root, every level empties
+    far = np.full((3, 2), 99.0)
+    rq, rr = t.locate_batch(far, far + 1.0, "intersects")
+    assert len(rq) == 0
+    empty_tree = PTree(np.empty((0, 2)))
+    rq, rr = empty_tree.locate_batch(np.zeros((2, 2)), np.ones((2, 2)))
+    assert len(rq) == 0
