@@ -371,6 +371,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_planes=4, n_bands=16,
         )
 
+    def media_features(sf):
+        # full multimodal path: docs -> media spans -> payload synth ->
+        # REAL decode (PPM/WAV in numpy) -> fixed-size features via the
+        # actor-pool stage; rows-only check (binary decode has no SQL)
+        from geograft import mediaops as M
+        from geograft import synth as S
+
+        docs = read_parquet_sized(f"{sf}/events.parquet").map_batches(
+            S.docs_from_events, batch_format="pyarrow", batch_size=None
+        )
+        refs = M.media_from_doc_spans(docs)
+        media = refs.map_batches(
+            lambda b: M.synthesize_media(b.column("media_ref").to_pylist()),
+            batch_format="pyarrow", batch_size=None,
+        )
+        return M.decode_features(media).select_columns(["media_ref", "kind"])
+
     def poly_contains(sf):
         # point-in-polygon over POLY spans (triangles derived from events)
         from geograft import synth as S
@@ -482,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
         "embedding_neardup": embedding_neardup,
+        "media_features": media_features,
         "poly_contains": poly_contains,
         "line_within_distance": line_within_distance,
         "events_window": events_window,

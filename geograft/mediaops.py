@@ -1,10 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-The sandbox has no image/audio libraries, so the DECODE kernels are
-stubbed (deterministic fake or NotImplementedError behind a flag) —
-but all the Ray-side plumbing is real and tested: binary columns with
-typed metadata, actor-pool stages with per-actor setup, small batch
-sizes for wide rows, and stable output schemas.
+Media travels as binary payload columns with typed JSON metadata; the
+decode/feature stage is an actor pool (setup once per actor, small
+batches because rows are wide).
+
+The decode step is REAL for two container-friendly formats — no codec
+library needed, pure numpy over the payload bytes:
+  * image: PPM (P6, 8-bit RGB) — header parse + pixel reshape, then
+    grayscale + block-mean downsample to a 4x4 patch (16 dims);
+  * audio: WAV (RIFF, 16-bit PCM) — chunk walk + int16 view, then RMS
+    energy over 16 equal time bins.
+Video decode genuinely requires a codec stack (ffmpeg) that is not in
+this container; it stays a clearly-marked stub (strict mode raises,
+fake mode emits a deterministic byte-hash feature so pipelines remain
+runnable end to end).
 
 Schema convention for a media table:
   media_ref:string, kind:string(image|audio|video), payload:binary,
@@ -28,58 +37,190 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------------------
+# codecs: PPM (P6) and WAV (16-bit PCM) in pure numpy
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """8-bit RGB (h, w, 3) -> binary PPM (P6)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM P6 is RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> uint8 array (h, w, 3). Whitespace/comment
+    tolerant header parse, as the format allows."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 ints, separated by whitespace; '#' starts a comment
+    vals: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(vals) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    i += 1  # single whitespace after maxval, then raster
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono int16 PCM -> RIFF/WAVE bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE 16-bit PCM -> (int16 samples, sample_rate). Walks the
+    chunk list, so extra chunks (LIST/fact) are skipped correctly."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    sr = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (sz,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt ":
+            audio_fmt, _ch, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=sz // 2, offset=i + 8)
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, sr
+
+
+# ---------------------------------------------------------------------------
+# synthesis: deterministic REAL payloads (valid PPM / WAV bytes)
+# ---------------------------------------------------------------------------
+
 def synthesize_media(refs: list[str], seed: int = 42) -> pa.Table:
-    """Deterministic fake media blobs for pipeline tests: payload bytes
-    are a seeded function of the ref, meta carries the decode params."""
-    rng = np.random.default_rng(seed)
+    """Deterministic media blobs for pipeline tests: every image payload
+    is a valid PPM, every audio payload a valid WAV. Keyed on crc32 of
+    the REF string (not the list position, so any batching of the same
+    refs yields identical rows; not hash(), which is salted)."""
+    import zlib
+
     kinds, payloads, metas = [], [], []
     for r in refs:
-        h = abs(hash((seed, r))) % 3  # noqa: S324 - test-data variety only
-        kind = ("image", "audio", "video")[h]
-        n = 64 + (abs(hash((seed, r, "n"))) % 192)
-        payloads.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        key = zlib.crc32(r.encode())
+        rng = np.random.default_rng([seed, key])
+        kind = ("image", "audio", "video")[key % 3]
+        if kind == "image":
+            w, h = 8 + int(rng.integers(0, 9)), 8 + int(rng.integers(0, 9))
+            payloads.append(encode_ppm(rng.integers(0, 256, (h, w, 3))))
+            metas.append(json.dumps({"w": w, "h": h}))
+        elif kind == "audio":
+            n = 256 + int(rng.integers(0, 256))
+            payloads.append(encode_wav(rng.integers(-3000, 3000, n)))
+            metas.append(json.dumps({"sr": 16000, "n": n}))
+        else:
+            payloads.append(rng.integers(0, 256, 128, dtype=np.uint8).tobytes())
+            metas.append(json.dumps({"frames": 4}))
         kinds.append(kind)
-        metas.append(json.dumps({"w": 8, "h": 8} if kind == "image" else {"sr": 16000}))
     return pa.table(
         {"media_ref": refs, "kind": kinds, "payload": payloads, "meta": metas},
         schema=MEDIA_SCHEMA,
     )
 
 
+# ---------------------------------------------------------------------------
+# feature kernels (vectorized per blob; blobs iterate, pixels don't)
+# ---------------------------------------------------------------------------
+
+def image_feature(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Grayscale block-mean downsample to (grid x grid), in [0, 1] —
+    decode + resize + featurize, the canonical image preprocessing
+    shape. Handles any h, w >= grid via bincount over block labels."""
+    gray = img.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    by = np.minimum(np.arange(h) * grid // h, grid - 1)
+    bx = np.minimum(np.arange(w) * grid // w, grid - 1)
+    lab = (by[:, None] * grid + bx[None, :]).ravel()
+    sums = np.bincount(lab, weights=gray.ravel(), minlength=grid * grid)
+    cnts = np.bincount(lab, minlength=grid * grid)
+    return (sums / np.maximum(cnts, 1) / 255.0).astype(np.float32)
+
+
+def audio_feature(samples: np.ndarray, bins: int = 16) -> np.ndarray:
+    """RMS energy over `bins` equal time slices, normalized to [0, 1]."""
+    x = samples.astype(np.float32) / 32768.0
+    n = len(x)
+    if n == 0:
+        return np.zeros(bins, dtype=np.float32)
+    lab = np.minimum(np.arange(n) * bins // n, bins - 1)
+    sums = np.bincount(lab, weights=x * x, minlength=bins)
+    cnts = np.bincount(lab, minlength=bins)
+    return np.sqrt(sums / np.maximum(cnts, 1)).astype(np.float32)
+
+
 class DecodeAndFeaturize:
     """Actor-pool stage: decode media payloads and emit fixed-size
-    feature vectors.
+    feature vectors (FEAT_DIM = 16).
 
-    Real deployments load a decoder/model in __init__ (once per actor).
-    Here, with no codec libraries in the container, `stub_mode` chooses:
-      - "fake": deterministic feature = first 16 payload bytes as f32
-        (keeps the full pipeline runnable + assertable end to end);
-      - "strict": raise NotImplementedError, marking exactly where a
-        real decoder (PIL/torchaudio/ffmpeg) plugs in.
+    image -> PPM decode + 4x4 block-mean gray patch (real decode);
+    audio -> WAV decode + 16-bin RMS energy (real decode);
+    video -> STUB: no codec stack in this container. stub_mode="fake"
+    emits a deterministic byte-hash feature; "strict" raises
+    NotImplementedError at the exact plug-in point for ffmpeg.
     """
 
     FEAT_DIM = 16
 
     def __init__(self, stub_mode: str = "fake"):
         self.stub_mode = stub_mode
-        try:  # pragma: no cover - not present in this container
-            import PIL.Image  # noqa: F401
 
-            self.has_pil = True
-        except ImportError:
-            self.has_pil = False
+    def _video_feature(self, payload: bytes) -> np.ndarray:
+        if self.stub_mode == "strict":
+            raise NotImplementedError(
+                "video decode needs a codec library (ffmpeg) not present "
+                "in this container; run with stub_mode='fake' or plug a "
+                "real frame sampler in here"
+            )
+        raw = np.frombuffer(payload[: self.FEAT_DIM], dtype=np.uint8)
+        out = np.zeros(self.FEAT_DIM, dtype=np.float32)
+        out[: len(raw)] = raw.astype(np.float32) / 255.0
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.stub_mode == "strict" and not self.has_pil:
-            raise NotImplementedError(
-                "media decode needs an image/audio library not present in "
-                "this container; run with stub_mode='fake' or install PIL"
-            )
+        kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
         feats = np.zeros((len(payloads), self.FEAT_DIM), dtype=np.float32)
-        for i, p in enumerate(payloads):
-            raw = np.frombuffer(p[: self.FEAT_DIM], dtype=np.uint8)
-            feats[i, : len(raw)] = raw.astype(np.float32) / 255.0
+        for i, (k, p) in enumerate(zip(kinds, payloads)):
+            if k == "image":
+                feats[i] = image_feature(decode_ppm(p))
+            elif k == "audio":
+                feats[i] = audio_feature(decode_wav(p)[0])
+            else:
+                feats[i] = self._video_feature(p)
         flat = pa.array(feats.reshape(-1))
         return pa.table(
             {
