@@ -208,6 +208,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FX.points3d_ds(sf), ["x", "y", "z"], WD3_Q[:3], WD3_Q[3]
         ).select_columns(["id"])
 
+    def _index_3d(sf):
+        # fresh persisted 3-d index per call (deterministic, no stale
+        # resume state across scale factors)
+        import os
+        import shutil
+        import tempfile
+
+        from geograft import pipeline as P
+
+        path = os.path.join(tempfile.gettempdir(),
+                            "geograft_q_idx3d_" + sf.strip("/").replace("/", "_"))
+        shutil.rmtree(path, ignore_errors=True)
+        P.build_partitioned_index_nd(
+            FX.points3d_ds(sf), path, ["x", "y", "z"], base_level=2,
+            bounds=FX.POINTS3D_BOUNDS,
+        )
+        return P, path
+
+    def indexed_box_3d(sf):
+        # persisted n-d index: manifest-pruned reads, same answer set as
+        # the raw scan (locate_in_box_3d) — one pipeline, two paths
+        P, path = _index_3d(sf)
+        out = P.query_index_box_nd(path, [5.0, 10.0, 0.0], [200.0, 80.0, 5000.0])
+        return out.select_columns(["id"])
+
+    def indexed_within_distance_3d(sf):
+        P, path = _index_3d(sf)
+        out = P.query_index_within_distance_nd(path, WD3_Q[:3], WD3_Q[3])
+        return out.select_columns(["id"])
+
     def _circles(sf):
         # custom-geometry registry (object.rs:83-200; Circle example at
         # object.rs:100-153): register once, then every distance/
@@ -474,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_join_3d": spatial_join_3d,
         "knn_3d": knn_3d,
         "within_distance_3d": within_distance_3d,
+        "indexed_box_3d": indexed_box_3d,
+        "indexed_within_distance_3d": indexed_within_distance_3d,
         "circle_within_distance": circle_within_distance,
         "circle_at_point": circle_at_point,
         "drain_in_envelope": drain_in_envelope,
@@ -595,6 +627,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({FX.POINTS3D_SQL}) ORDER BY dist2, id LIMIT {KNN3_Q[3]}"
         ),
         "within_distance_3d": (
+            f"SELECT id FROM ({FX.POINTS3D_SQL}) "
+            f"WHERE (x-{WD3_Q[0]})*(x-{WD3_Q[0]}) + (y-{WD3_Q[1]})*(y-{WD3_Q[1]}) "
+            f"+ (z-{WD3_Q[2]})*(z-{WD3_Q[2]}) <= {WD3_Q[3]}"
+        ),
+        "indexed_box_3d": (
+            f"SELECT id FROM ({FX.POINTS3D_SQL}) WHERE x BETWEEN 5.0 AND 200.0 "
+            "AND y BETWEEN 10.0 AND 80.0 AND z BETWEEN 0.0 AND 5000.0"
+        ),
+        "indexed_within_distance_3d": (
             f"SELECT id FROM ({FX.POINTS3D_SQL}) "
             f"WHERE (x-{WD3_Q[0]})*(x-{WD3_Q[0]}) + (y-{WD3_Q[1]})*(y-{WD3_Q[1]}) "
             f"+ (z-{WD3_Q[2]})*(z-{WD3_Q[2]}) <= {WD3_Q[3]}"

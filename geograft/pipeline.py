@@ -288,6 +288,217 @@ def query_index_with_selection_function(path: str, keep_rows,
     return ops.locate_with_selection_function(ds, keep_rows), len(files), total
 
 
+# --------------------------------------------------------------------------
+# N-dimensional persisted index (reference is dimension-generic,
+# point.rs:295-323; 3-d/4-d bulk loads tested at
+# bulk_load_sequential.rs:113-151). Same histogram -> skew-split ->
+# one-shuffle -> per-cell-file + manifest contract as the 2-d build;
+# partition envelopes are per-axis lo/hi lists.
+# --------------------------------------------------------------------------
+
+def build_partitioned_index_nd(
+    ds,
+    path: str,
+    axes: list[str],
+    base_level: int,
+    bounds: G.BoundsND,
+    target_rows: int = 200_000,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) a partitioned index over point rows whose
+    coordinates live in columns ``axes`` (any d >= 2)."""
+    t_start = time.perf_counter()
+    d = len(axes)
+    os.makedirs(path, exist_ok=True)
+    man_path = os.path.join(path, MANIFEST)
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            done = json.load(f)["partitions"]
+
+    # -- stage 1: histogram + skew plan (cells split log_{2^d} deep) -------
+    def part_hist(b: pa.Table) -> pa.Table:
+        coords = np.stack(
+            [b.column(c).to_numpy().astype(np.float64) for c in axes], axis=1)
+        cid = G.cell_of_points_nd(coords, base_level, bounds)
+        u, c = np.unique(cid, return_counts=True)
+        return pa.table({"cell_id": u, "n": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(part_hist, batch_format="pyarrow", batch_size=None)
+        .groupby("cell_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    hot_map: dict[int, int] = {}
+    max_lvl = G.max_level_nd(d)
+    for cid, n in zip(hist["cell_id"], hist["n"]):
+        if n > target_rows:
+            delta = max(1, math.ceil(math.log(n / target_rows, 2 ** d)))
+            hot_map[int(cid)] = min(base_level + delta, max_lvl)
+
+    # -- stage 2: adaptive assignment, one coarse shuffle, per-cell files --
+    def assign(b: pa.Table) -> pa.Table:
+        coords = np.stack(
+            [b.column(c).to_numpy().astype(np.float64) for c in axes], axis=1)
+        cid = G.cell_of_points_nd(coords, base_level, bounds)
+        if hot_map:
+            hot_ids = np.fromiter(hot_map.keys(), dtype=np.int64)
+            hot_lvls = np.fromiter(hot_map.values(), dtype=np.int64)
+            order = np.argsort(hot_ids)
+            hot_ids, hot_lvls = hot_ids[order], hot_lvls[order]
+            pos = np.minimum(np.searchsorted(hot_ids, cid), len(hot_ids) - 1)
+            mask = hot_ids[pos] == cid
+            if mask.any():
+                sub_lvls = hot_lvls[pos[mask]]
+                fine = np.empty(int(mask.sum()), dtype=np.int64)
+                for lvl in np.unique(sub_lvls):
+                    m2 = sub_lvls == lvl
+                    fine[m2] = G.cell_of_points_nd(coords[mask][m2], int(lvl), bounds)
+                cid[mask] = fine
+        return b.append_column("cell_id", pa.array(cid))
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    done_ids = {int(k) for k in done}
+
+    def write_bucket(group: pa.Table) -> pd.DataFrame:
+        cols = {"cell_id": np.int64, "rows": np.int64, "bytes": np.int64,
+                "wall_ms": float, "skipped": bool,
+                **{f"lo{i}": float for i in range(d)},
+                **{f"hi{i}": float for i in range(d)}}
+        if len(group) == 0 or "cell_id" not in group.column_names:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        cells = group.column("cell_id").to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+        out: list[dict] = []
+        for gi in range(len(bnd) - 1):
+            rows_idx = order[bnd[gi] : bnd[gi + 1]]
+            cid = int(cs[bnd[gi]])
+            t0 = time.perf_counter()
+            if cid in done_ids:
+                p = done[str(cid)]
+                out.append({"cell_id": cid, "rows": p["rows"], "bytes": p["bytes"],
+                            "wall_ms": 0.0, "skipped": True,
+                            **{f"lo{i}": p["lo"][i] for i in range(d)},
+                            **{f"hi{i}": p["hi"][i] for i in range(d)}})
+                continue
+            part = group.take(pa.array(rows_idx))
+            if "__cg" in part.column_names:
+                part = part.drop_columns(["__cg"])
+            fname = os.path.join(path, f"part-{cid}.parquet")
+            tmp = fname + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, fname)
+            rec = {"cell_id": cid, "rows": len(part),
+                   "bytes": os.path.getsize(fname),
+                   "wall_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                   "skipped": False}
+            for i, c in enumerate(axes):
+                v = part.column(c).to_numpy()
+                rec[f"lo{i}"] = float(v.min())
+                rec[f"hi{i}"] = float(v.max())
+            out.append(rec)
+        return pd.DataFrame(out)
+
+    stats = ops.coarse_group_by_cell(keyed, write_bucket).to_pandas()
+    partitions = {
+        str(int(r.cell_id)): {
+            "file": f"part-{int(r.cell_id)}.parquet",
+            "rows": int(r.rows), "bytes": int(r.bytes),
+            "wall_ms": float(r.wall_ms),
+            "lo": [float(getattr(r, f"lo{i}")) for i in range(d)],
+            "hi": [float(getattr(r, f"hi{i}")) for i in range(d)],
+        }
+        for r in stats.itertuples()
+    }
+    manifest = {
+        "axes": axes,
+        "base_level": base_level,
+        "bounds": bounds.to_list(),
+        "target_rows": target_rows,
+        "hot_map": {str(k): v for k, v in hot_map.items()},
+        "total_rows": int(stats["rows"].sum()),
+        "built_cells": int((~stats["skipped"]).sum()),
+        "resumed_cells": int(stats["skipped"].sum()),
+        "wall_sec": round(time.perf_counter() - t_start, 3),
+        "partitions": partitions,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def query_index_box_nd(path: str, lo, hi):
+    """locate_in_box_nd against a BUILT n-d index: partitions whose
+    envelope intersects the box are read; everything else is pruned at
+    the manifest (prune-at-the-read, dimension-generic)."""
+    man = load_manifest(path)
+    axes = man["axes"]
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+    files = []
+    for p in man["partitions"].values():
+        if p["rows"] == 0:
+            continue
+        plo = np.asarray(p["lo"])
+        phi = np.asarray(p["hi"])
+        if (plo <= hi).all() and (phi >= lo).all():
+            files.append(os.path.join(path, p["file"]))
+    if not files:
+        return None
+    import ray.data as rd
+
+    ds = rd.read_parquet(files)
+    return ops.locate_in_box_nd(ds, axes, lo.tolist(), hi.tolist())
+
+
+def query_index_within_distance_nd(path: str, center, r2: float):
+    """locate_within_distance in d dims against a BUILT index: prune by
+    clamped envelope distance on the manifest, exact kernel on rows."""
+    man = load_manifest(path)
+    axes = man["axes"]
+    c = np.asarray(center, dtype=np.float64)
+    files = []
+    for p in man["partitions"].values():
+        if p["rows"] == 0:
+            continue
+        plo = np.asarray(p["lo"])
+        phi = np.asarray(p["hi"])
+        diff = np.clip(c, plo, phi) - c
+        if float((diff * diff).sum()) <= r2:
+            files.append(os.path.join(path, p["file"]))
+    if not files:
+        return None
+    import ray.data as rd
+
+    ds = rd.read_parquet(files)
+    return ops.locate_within_distance_nd(ds, axes, c.tolist(), r2)
+
+
+def sanity_check_index_nd(path: str, expected_rows: int | None = None) -> None:
+    """node.rs:106-155 analogue for the n-d index: counts sum, per-axis
+    envelopes exact, no foreign rows."""
+    man = load_manifest(path)
+    axes = man["axes"]
+    total = 0
+    for cid, p in man["partitions"].items():
+        t = pq.read_table(os.path.join(path, p["file"]))
+        assert len(t) == p["rows"], f"cell {cid}: manifest rows mismatch"
+        total += len(t)
+        for i, c in enumerate(axes):
+            v = t.column(c).to_numpy()
+            assert v.min() == p["lo"][i] and v.max() == p["hi"][i]
+        cells = t.column("cell_id").to_numpy()
+        assert (cells == int(cid)).all(), f"cell {cid}: foreign rows"
+    assert total == man["total_rows"]
+    if expected_rows is not None:
+        assert total == expected_rows
+
+
 def checkpointed_spatial_join(
     left, right, level: int, bounds: G.Bounds, out_dir: str,
     id_col: str = "id", resume: bool = True,

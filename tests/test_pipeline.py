@@ -237,3 +237,67 @@ def test_selection_function_planner_prune(ray_session, tmp_path, sf_small):
     want = np.sort(ds_full.to_pandas()["id"].to_numpy())
     np.testing.assert_array_equal(got, want)
     assert len(got) > 0
+
+
+def test_nd_index_build_query_resume(ray_session, sf_small, tmp_path):
+    # 3-d persisted index: build + sanity + box/disc queries vs brute
+    # force + resume skip (dimension-generic counterpart of the 2-d
+    # build, point.rs:295-323)
+    import ray.data as rd
+
+    path = str(tmp_path / "idx3")
+    pts = FX.points3d_ds(sf_small)
+    man = pipeline.build_partitioned_index_nd(
+        pts, path, ["x", "y", "z"], base_level=1, bounds=FX.POINTS3D_BOUNDS,
+        target_rows=100,
+    )
+    pipeline.sanity_check_index_nd(path, expected_rows=pts.count())
+    assert man["axes"] == ["x", "y", "z"]
+    assert man["hot_map"], "target_rows=300 must trigger skew splits"
+
+    raw = pts.to_pandas()
+    lo, hi = [5.0, 10.0, 3.0], [200.0, 80.0, 60.0]
+    got = pipeline.query_index_box_nd(path, lo, hi).to_pandas()
+    m = np.ones(len(raw), dtype=bool)
+    for i, c in enumerate(["x", "y", "z"]):
+        m &= (raw[c].to_numpy() >= lo[i]) & (raw[c].to_numpy() <= hi[i])
+    assert set(got["id"]) == set(raw["id"][m])
+
+    c, r2 = [100.0, 50.0, 48.0], 2000.0
+    got2 = pipeline.query_index_within_distance_nd(path, c, r2).to_pandas()
+    d2 = np.zeros(len(raw))
+    for i, col in enumerate(["x", "y", "z"]):
+        dx = raw[col].to_numpy() - c[i]
+        d2 += dx * dx
+    assert set(got2["id"]) == set(raw["id"][d2 <= r2])
+
+    # resume: a second build skips every finished cell
+    man2 = pipeline.build_partitioned_index_nd(
+        pts, path, ["x", "y", "z"], base_level=1, bounds=FX.POINTS3D_BOUNDS,
+        target_rows=100,
+    )
+    assert man2["built_cells"] == 0
+    assert man2["resumed_cells"] == len(man["partitions"])
+
+
+def test_nd_index_prunes_reads(ray_session, sf_small, tmp_path):
+    # a query box far from most partitions must not touch their files
+    path = str(tmp_path / "idx3p")
+    pts = FX.points3d_ds(sf_small)
+    pipeline.build_partitioned_index_nd(
+        pts, path, ["x", "y", "z"], base_level=1, bounds=FX.POINTS3D_BOUNDS,
+        target_rows=100,
+    )
+    man = pipeline.load_manifest(path)
+    lo, hi = [0.0, 0.0, 0.0], [10.0, 10.0, 10.0]
+    touched = [
+        p for p in man["partitions"].values()
+        if (np.asarray(p["lo"]) <= hi).all() and (np.asarray(p["hi"]) >= lo).all()
+    ]
+    assert 0 < len(touched) < len(man["partitions"])
+    got = pipeline.query_index_box_nd(path, lo, hi).to_pandas()
+    raw = pts.to_pandas()
+    m = np.ones(len(raw), dtype=bool)
+    for i, c in enumerate(["x", "y", "z"]):
+        m &= (raw[c].to_numpy() >= lo[i]) & (raw[c].to_numpy() <= hi[i])
+    assert set(got["id"]) == set(raw["id"][m])
