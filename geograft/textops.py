@@ -298,11 +298,17 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text",
     sig = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh):
         shm = sh % _MERSENNE
+        # doc_idx is doc-sorted (lexsort in _shingle_hashes), so each
+        # doc's shingles are one contiguous segment: minimum.reduceat
+        # over segments beats unbuffered np.minimum.at ~1.6x; a single
+        # (shingles x 64) 2-D pass is WORSE (memory traffic), so the
+        # permutation loop stays. Elementwise formula (uint64 wrap then
+        # mod) is unchanged.
+        seg = np.concatenate([[0], np.nonzero(doc_idx[1:] != doc_idx[:-1])[0] + 1])
+        seg_docs = doc_idx[seg]
         for p in range(N_PERM):
             hv = (a[p] * shm + b[p]) % _MERSENNE
-            col = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
-            np.minimum.at(col, doc_idx, hv)
-            sig[:, p] = col
+            sig[seg_docs, p] = np.minimum.reduceat(hv, seg)
     # fold each band's rows into one stable 64-bit key
     bands = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
     key = bands[:, :, 0].copy()
@@ -480,6 +486,13 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
         halves = g.filter(pa.array(slot != 2)).select(["__k", "a", "b", "__slot"]).to_pandas()
         if len(halves) == 0:
             return empty
+        # duplicate input pairs (e.g. the same candidate surfacing from
+        # several LSH bands) dedup HERE, inside the shuffle they already
+        # ride — all copies of a half share its endpoint key, hence this
+        # bucket. Saves callers a dedicated global-dedup exchange; also
+        # keeps the pivot's merge 1x1 (duplicated halves would multiply
+        # quadratically there).
+        halves = halves.drop_duplicates(subset=["__k", "a", "b", "__slot"])
         lk = g.filter(pa.array(slot == 2)).select(["__k", "__v"]).to_pandas()
         merged = halves.merge(lk, on="__k", how="inner")
         a = merged["a"].to_numpy(dtype=np.int64)
@@ -565,10 +578,11 @@ def neardup_minhash(ds, tau: float = 0.8, text_col: str = "text",
 
     shingle -> minhash -> band keys (map_batches, IDS ONLY — document
     text never enters the band shuffle) -> coarse (band, band_hash)
-    buckets -> vectorized candidate self-merge -> pair-hash-bucketed
-    global dedup -> exact-Jaccard verification joined against the docs
-    table. Reported pairs are SOUND (verified exactly); recall follows
-    the LSH banding curve (tested against brute force).
+    buckets -> vectorized candidate self-merge -> exact-Jaccard
+    verification joined against the docs table (cross-band duplicate
+    candidates dedup inside the join's own shuffle — no dedicated
+    dedup barrier). Reported pairs are SOUND (verified exactly); recall
+    follows the LSH banding curve (tested against brute force).
     """
     def sigs(b: pa.Table) -> pa.Table:
         s = minhash_signatures(b, text_col, id_col, k)
@@ -596,12 +610,10 @@ def neardup_minhash(ds, tau: float = 0.8, text_col: str = "text",
     pairs = sig_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
 
     # the same pair can surface from bands in DIFFERENT coarse
-    # partitions -> global dedup, coarse-bucketed on the pair hash
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
-
-    uniq = pairs.groupby("__pb").map_groups(dd, batch_format="pandas")
-    return verify_jaccard_pairs(uniq, ds, tau, k, text_col, id_col)
+    # partitions; the global dedup rides the verify join's own shuffle
+    # (attach_pair_lookup dedups halves in-bucket) — one less all-to-all
+    # barrier than a dedicated dedup stage
+    return verify_jaccard_pairs(pairs, ds, tau, k, text_col, id_col)
 
 
 def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
