@@ -238,6 +238,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = P.query_index_within_distance_nd(path, WD3_Q[:3], WD3_Q[3])
         return out.select_columns(["id"])
 
+    def indexed_knn_3d(sf):
+        # build-once/query-many in d dims: manifest-planned, shuffle-free
+        # kNN over the persisted 3-d index (nearest_neighbor.rs is
+        # dimension-generic over Point<d>) — must equal brute-force knn_3d
+        import pyarrow as pa
+
+        from geograft import state as ST
+
+        _, path = _index_3d(sf)
+        q = pa.table({"qid": [0], "x": [KNN3_Q[0]], "y": [KNN3_Q[1]], "z": [KNN3_Q[2]]})
+        return ST.knn_on_index_nd(path, q, k=KNN3_Q[3])
+
     def _circles(sf):
         # custom-geometry registry (object.rs:83-200; Circle example at
         # object.rs:100-153): register once, then every distance/
@@ -506,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "within_distance_3d": within_distance_3d,
         "indexed_box_3d": indexed_box_3d,
         "indexed_within_distance_3d": indexed_within_distance_3d,
+        "indexed_knn_3d": indexed_knn_3d,
         "circle_within_distance": circle_within_distance,
         "circle_at_point": circle_at_point,
         "drain_in_envelope": drain_in_envelope,
@@ -639,6 +652,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id FROM ({FX.POINTS3D_SQL}) "
             f"WHERE (x-{WD3_Q[0]})*(x-{WD3_Q[0]}) + (y-{WD3_Q[1]})*(y-{WD3_Q[1]}) "
             f"+ (z-{WD3_Q[2]})*(z-{WD3_Q[2]}) <= {WD3_Q[3]}"
+        ),
+        "indexed_knn_3d": (
+            f"SELECT 0 AS qid, id, (x-{KNN3_Q[0]})*(x-{KNN3_Q[0]}) + "
+            f"(y-{KNN3_Q[1]})*(y-{KNN3_Q[1]}) + (z-{KNN3_Q[2]})*(z-{KNN3_Q[2]}) AS dist2 "
+            f"FROM ({FX.POINTS3D_SQL}) ORDER BY dist2, id LIMIT {KNN3_Q[3]}"
         ),
         "circle_within_distance": (
             f"WITH d AS (SELECT id, GREATEST(SQRT(({wx}-cx)*({wx}-cx) + "

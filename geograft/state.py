@@ -204,21 +204,24 @@ def query_index_within_distance(index_path: str, discs: pa.Table,
     return _serve_routed(index_path, routed, concurrency)
 
 
-def _plan_knn_routes(qid, qx, qy, plo, pup, counts, total, k):
+def _plan_knn_routes(qid, qc, plo, pup, counts, total, k):
     """Chunked + threaded planning (pure numpy releases the GIL): for
     each query, the proven candidate-partition set (same bound
-    derivation as ops.indexed_knn)."""
+    derivation as ops.indexed_knn). ``qc`` is (nq, d); dimension-generic
+    like the reference's distance bounds (rstar/src/aabb.rs:158-198)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    d = qc.shape[1]
+
     def plan_chunk(sl):
-        cqx = qx[sl][:, None]
-        cqy = qy[sl][:, None]
-        dx = np.clip(cqx, plo[None, :, 0], pup[None, :, 0]) - cqx
-        dy = np.clip(cqy, plo[None, :, 1], pup[None, :, 1]) - cqy
-        mind2 = dx * dx + dy * dy
-        fx = np.maximum(np.abs(cqx - plo[None, :, 0]), np.abs(cqx - pup[None, :, 0]))
-        fy = np.maximum(np.abs(cqy - plo[None, :, 1]), np.abs(cqy - pup[None, :, 1]))
-        maxd2 = fx * fx + fy * fy
+        mind2 = np.zeros((sl.stop - sl.start, plo.shape[0]))
+        maxd2 = np.zeros_like(mind2)
+        for ax in range(d):
+            ca = qc[sl, ax][:, None]
+            da = np.clip(ca, plo[None, :, ax], pup[None, :, ax]) - ca
+            mind2 += da * da
+            fa = np.maximum(np.abs(ca - plo[None, :, ax]), np.abs(ca - pup[None, :, ax]))
+            maxd2 += fa * fa
         order = np.argsort(mind2, axis=1, kind="stable")
         csum = np.cumsum(counts[order], axis=1)
         if total <= k:
@@ -265,7 +268,8 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
     qid = queries.column("qid").to_numpy()
     qx = queries.column("x").to_numpy()
     qy = queries.column("y").to_numpy()
-    qi, pi = _plan_knn_routes(qid, qx, qy, plo, pup, counts, total, k)
+    qi, pi = _plan_knn_routes(qid, np.stack([qx, qy], axis=1), plo, pup,
+                              counts, total, k)
 
     # broadcast: FLAT arrays sorted by cell (zero-copy plasma reads; a
     # dict of many small per-cell arrays would be re-pickled per task)
@@ -461,3 +465,114 @@ def knn_index_batch(index_path: str, queries: pa.Table, k: int,
     order2 = np.lexsort((g_ids[keep], g_d2[keep], g_qid[keep]))
     keep = keep[order2]
     return pd.DataFrame({"qid": g_qid[keep], "id": g_ids[keep], "dist2": g_d2[keep]})
+
+def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
+                    id_col: str = "id"):
+    """Shuffle-free exact kNN against a BUILT n-d index (the
+    dimension-generic twin of knn_on_index; nearest-neighbour search is
+    dimension-generic in the reference, rstar/src/algorithm/nearest_neighbor.rs
+    over Point<d>): plan candidate partitions from the manifest's
+    per-axis lo/hi envelopes with the same proven min/max distance
+    bounds, read only candidate cell files, answer routed queries with
+    chunked (queries x points) distance sums per axis, merge top-k on
+    the driver. Query table: qid + one column per manifest axis."""
+    import ray
+    import ray.data as rd
+
+    from .ops import _topk_cols_per_row, _topk_per_qid
+
+    man = load_manifest(index_path)
+    axes = man["axes"]
+    d = len(axes)
+    cids, counts, plo, pup = [], [], [], []
+    for cid, p in man["partitions"].items():
+        if p["rows"] > 0:
+            cids.append(int(cid)); counts.append(p["rows"])
+            plo.append(p["lo"]); pup.append(p["hi"])
+    cids = np.asarray(cids, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    plo = np.asarray(plo, dtype=np.float64).reshape(len(cids), d)
+    pup = np.asarray(pup, dtype=np.float64).reshape(len(cids), d)
+    total = int(counts.sum())
+    files = {int(c): os.path.join(index_path, man["partitions"][str(int(c))]["file"])
+             for c in cids}
+
+    qid = queries.column("qid").to_numpy()
+    qc = np.stack([queries.column(c).to_numpy().astype(np.float64) for c in axes],
+                  axis=1)
+    qi, pi = _plan_knn_routes(qid, qc, plo, pup, counts, total, k)
+
+    r_cells = cids[pi]
+    order = np.argsort(r_cells, kind="stable")
+    rref = ray.put(
+        {
+            "cells": np.ascontiguousarray(r_cells[order]),
+            "qid": np.ascontiguousarray(qid[qi][order]),
+            "qc": np.ascontiguousarray(qc[qi][order]),
+        }
+    )
+    touched = sorted(set(np.unique(r_cells).tolist()))
+    if not touched:
+        return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+
+    def cell_knn(batch: pa.Table, rref=rref) -> pa.Table:
+        rt = ray.get(rref)
+        cells = batch.column("cell_id").to_numpy()
+        pts = np.stack([batch.column(c).to_numpy().astype(np.float64) for c in axes],
+                       axis=1)
+        ids = batch.column(id_col).to_numpy()
+        out_q, out_i, out_d = [], [], []
+        ordr = np.argsort(cells, kind="stable")
+        cs = cells[ordr]
+        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+        for gi in range(len(bnd) - 1):
+            rows = ordr[bnd[gi] : bnd[gi + 1]]
+            cell = int(cs[bnd[gi]])
+            s0 = np.searchsorted(rt["cells"], cell, side="left")
+            s1 = np.searchsorted(rt["cells"], cell, side="right")
+            if s1 == s0:
+                continue
+            # ascending-id rows => deterministic (d2, id) ties
+            io = np.argsort(ids[rows], kind="stable")
+            rows = rows[io]
+            gids = ids[rows]
+            gpts = pts[rows]
+            gqid = rt["qid"][s0:s1]
+            gqc = rt["qc"][s0:s1]
+            kk = min(k, len(rows))
+            for s in range(0, len(gqid), 64):
+                sq = gqc[s : s + 64]
+                d2 = np.zeros((len(sq), len(rows)))
+                for ax in range(d):
+                    da = sq[:, ax][:, None] - gpts[:, ax][None, :]
+                    d2 += da * da
+                part = _topk_cols_per_row(d2, kk)
+                out_q.append(np.repeat(gqid[s : s + 64], kk))
+                out_i.append(gids[part].ravel())
+                out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
+        if not out_q:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "dist2": pa.array([], type=pa.float64())})
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "dist2": np.concatenate(out_d)})
+
+    ds = rd.read_parquet(
+        [files[c] for c in touched],
+        columns=[id_col, "cell_id", *axes],
+        override_num_blocks=min(64, len(touched)),
+    )
+    cand = ds.map_batches(cell_knn, batch_format="pyarrow", batch_size=None)
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
+        return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+    tbl = pa.concat_tables(blocks)
+    g_qid = tbl.column("qid").to_numpy()
+    g_ids = tbl.column(id_col).to_numpy()
+    g_d2 = tbl.column("dist2").to_numpy()
+    keep = _topk_per_qid(g_qid, g_ids, g_d2, k)
+    order2 = np.lexsort((g_ids[keep], g_d2[keep], g_qid[keep]))
+    keep = keep[order2]
+    return pd.DataFrame({"qid": g_qid[keep], id_col: g_ids[keep],
+                         "dist2": g_d2[keep]})

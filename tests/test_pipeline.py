@@ -301,3 +301,30 @@ def test_nd_index_prunes_reads(ray_session, sf_small, tmp_path):
     for i, c in enumerate(["x", "y", "z"]):
         m &= (raw[c].to_numpy() >= lo[i]) & (raw[c].to_numpy() <= hi[i])
     assert set(got["id"]) == set(raw["id"][m])
+
+def test_nd_indexed_knn_vs_brute(ray_session, sf_small, tmp_path):
+    # shuffle-free kNN on the persisted 3-d index == brute-force knn_nd
+    # exactly (bounds proof, dimension-generic: nearest_neighbor.rs over
+    # Point<d>), including the (dist2, id) tie contract
+    import pyarrow as pa
+
+    from geograft import ops, state as ST
+
+    path = str(tmp_path / "idx3k")
+    pts = FX.points3d_ds(sf_small)
+    pipeline.build_partitioned_index_nd(
+        pts, path, ["x", "y", "z"], base_level=1, bounds=FX.POINTS3D_BOUNDS,
+        target_rows=100,
+    )
+    rng = np.random.default_rng(11)
+    qn = 64
+    q = pa.table({
+        "qid": np.arange(qn),
+        "x": rng.uniform(0.0, 560.0, qn),
+        "y": rng.uniform(0.0, 100.0, qn),
+        "z": rng.uniform(0.0, 97.0, qn),
+    })
+    got = ST.knn_on_index_nd(path, q, k=5)
+    want = ops.knn_nd(FX.points3d_ds(sf_small), q, k=5, axes=["x", "y", "z"])
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert len(got) == qn * 5
