@@ -12,6 +12,40 @@ from __future__ import annotations
 
 import os
 
+
+def _pin_fsspec_http_probe() -> None:
+    """Make Ray's lazy `from fsspec.implementations.http import
+    HTTPFileSystem` probe deterministic under threads. In this
+    environment the module always fails to import (no aiohttp); Ray
+    catches that ModuleNotFoundError — but when two threads race the
+    first import, the loser sees a partially-initialized module and
+    gets a bare ImportError instead, which Ray does NOT catch. Pin a
+    stub module with a placeholder class: the probe's isinstance checks
+    are then simply False, on every thread, every time."""
+    import sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import types
+
+        m = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder — never instantiated
+            pass
+
+        m.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = m
+        try:
+            import fsspec.implementations as _fi
+
+            _fi.http = m
+        except ImportError:
+            pass
+
+
+_pin_fsspec_http_probe()
+
 TARGET_BLOCK_BYTES = 128 * 1024 * 1024
 # Small inputs are still split for parallelism, but never below this many
 # file bytes per block (per-task overhead would dominate), and never into

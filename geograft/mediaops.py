@@ -4,16 +4,19 @@ Media travels as binary payload columns with typed JSON metadata; the
 decode/feature stage is an actor pool (setup once per actor, small
 batches because rows are wide).
 
-The decode step is REAL for two container-friendly formats — no codec
-library needed, pure numpy over the payload bytes:
+The decode step is REAL for three container-friendly formats — no
+codec library needed, pure numpy over the payload bytes:
   * image: PPM (P6, 8-bit RGB) — header parse + pixel reshape, then
     grayscale + block-mean downsample to a 4x4 patch (16 dims);
   * audio: WAV (RIFF, 16-bit PCM) — chunk walk + int16 view, then RMS
-    energy over 16 equal time bins.
-Video decode genuinely requires a codec stack (ffmpeg) that is not in
-this container; it stays a clearly-marked stub (strict mode raises,
-fake mode emits a deterministic byte-hash feature so pipelines remain
-runnable end to end).
+    energy over 16 equal time bins;
+  * video: Y4M (YUV4MPEG2, uncompressed; Cmono/C420) — header parse +
+    per-frame plane walk, then frame-sample 4 frames x 2x2 luma block
+    means (16 dims) — the decode / frame-sample / featurize shape.
+COMPRESSED video (h264/vp9/...) genuinely requires a codec stack
+(ffmpeg) that is not in this container; non-Y4M video payloads stay a
+clearly-marked stub (strict mode raises, fake mode emits a
+deterministic byte-hash feature so pipelines remain runnable).
 
 Schema convention for a media table:
   media_ref:string, kind:string(image|audio|video), payload:binary,
@@ -118,15 +121,67 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return data, sr
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """uint8 luma frames (t, h, w) -> YUV4MPEG2 bytes (Cmono)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    t, h, w = f.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, *fps)
+    return head + b"".join(b"FRAME\n" + f[i].tobytes() for i in range(t))
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 -> (uint8 luma frames (t, h, w), (fps_num, fps_den)).
+    Cmono and C420* supported (C420 chroma planes are walked over;
+    luma is what the feature stage consumes). Frame-level parameter
+    tags (allowed by the spec) are skipped."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    csp = b"420"  # spec default when no C tag is present
+    for tag in payload[9:nl].split():
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"F":
+            num, den = tag[1:].split(b":")
+            fps = (int(num), int(den))
+        elif tag[:1] == b"C":
+            csp = tag[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if csp == b"mono":
+        fsize = w * h
+    elif csp.startswith(b"420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{csp.decode()}")
+    frames = []
+    i = nl + 1
+    n = len(payload)
+    while i < n:
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame header")
+        i = payload.index(b"\n", i) + 1
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i
+                          ).reshape(h, w))
+        i += fsize
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
 # ---------------------------------------------------------------------------
-# synthesis: deterministic REAL payloads (valid PPM / WAV bytes)
+# synthesis: deterministic REAL payloads (valid PPM / WAV / Y4M bytes)
 # ---------------------------------------------------------------------------
 
 def synthesize_media(refs: list[str], seed: int = 42) -> pa.Table:
     """Deterministic media blobs for pipeline tests: every image payload
-    is a valid PPM, every audio payload a valid WAV. Keyed on crc32 of
-    the REF string (not the list position, so any batching of the same
-    refs yields identical rows; not hash(), which is salted)."""
+    is a valid PPM, every audio payload a valid WAV, every video payload
+    a valid Y4M. Keyed on crc32 of the REF string (not the list
+    position, so any batching of the same refs yields identical rows;
+    not hash(), which is salted)."""
     import zlib
 
     kinds, payloads, metas = [], [], []
@@ -143,8 +198,11 @@ def synthesize_media(refs: list[str], seed: int = 42) -> pa.Table:
             payloads.append(encode_wav(rng.integers(-3000, 3000, n)))
             metas.append(json.dumps({"sr": 16000, "n": n}))
         else:
-            payloads.append(rng.integers(0, 256, 128, dtype=np.uint8).tobytes())
-            metas.append(json.dumps({"frames": 4}))
+            t = 3 + int(rng.integers(0, 6))
+            w, h = 8 + 2 * int(rng.integers(0, 5)), 8 + 2 * int(rng.integers(0, 5))
+            payloads.append(
+                encode_y4m(rng.integers(0, 256, (t, h, w)).astype(np.uint8)))
+            metas.append(json.dumps({"frames": t, "w": w, "h": h}))
         kinds.append(kind)
     return pa.table(
         {"media_ref": refs, "kind": kinds, "payload": payloads, "meta": metas},
@@ -170,6 +228,27 @@ def image_feature(img: np.ndarray, grid: int = 4) -> np.ndarray:
     return (sums / np.maximum(cnts, 1) / 255.0).astype(np.float32)
 
 
+def video_feature(frames: np.ndarray, n_sample: int = 4, grid: int = 2) -> np.ndarray:
+    """Frame-sample n_sample evenly spaced luma frames, 2x2 block means
+    each -> n_sample*grid*grid dims in [0, 1] — decode + frame-sample +
+    featurize, the canonical video preprocessing shape. Shorter clips
+    repeat frames (evenly spaced sampling over what exists)."""
+    t = len(frames)
+    out = np.zeros((n_sample, grid * grid), dtype=np.float32)
+    if t:
+        pick = (np.arange(n_sample) * t) // n_sample
+        for j, fi in enumerate(pick):
+            g = frames[fi].astype(np.float32)
+            h, w = g.shape
+            by = np.minimum(np.arange(h) * grid // h, grid - 1)
+            bx = np.minimum(np.arange(w) * grid // w, grid - 1)
+            lab = (by[:, None] * grid + bx[None, :]).ravel()
+            sums = np.bincount(lab, weights=g.ravel(), minlength=grid * grid)
+            cnts = np.bincount(lab, minlength=grid * grid)
+            out[j] = sums / np.maximum(cnts, 1) / 255.0
+    return out.reshape(-1)
+
+
 def audio_feature(samples: np.ndarray, bins: int = 16) -> np.ndarray:
     """RMS energy over `bins` equal time slices, normalized to [0, 1]."""
     x = samples.astype(np.float32) / 32768.0
@@ -188,9 +267,12 @@ class DecodeAndFeaturize:
 
     image -> PPM decode + 4x4 block-mean gray patch (real decode);
     audio -> WAV decode + 16-bin RMS energy (real decode);
-    video -> STUB: no codec stack in this container. stub_mode="fake"
-    emits a deterministic byte-hash feature; "strict" raises
-    NotImplementedError at the exact plug-in point for ffmpeg.
+    video -> Y4M decode + 4-frame sample x 2x2 luma block means (real
+    decode for uncompressed YUV4MPEG2). COMPRESSED video payloads are
+    the one remaining stub: no codec stack in this container.
+    stub_mode="fake" emits a deterministic byte-hash feature for them;
+    "strict" raises NotImplementedError at the exact ffmpeg plug-in
+    point.
     """
 
     FEAT_DIM = 16
@@ -199,11 +281,13 @@ class DecodeAndFeaturize:
         self.stub_mode = stub_mode
 
     def _video_feature(self, payload: bytes) -> np.ndarray:
+        if payload.startswith(b"YUV4MPEG2"):
+            return video_feature(decode_y4m(payload)[0])
         if self.stub_mode == "strict":
             raise NotImplementedError(
-                "video decode needs a codec library (ffmpeg) not present "
-                "in this container; run with stub_mode='fake' or plug a "
-                "real frame sampler in here"
+                "compressed video decode needs a codec library (ffmpeg) "
+                "not present in this container; run with stub_mode='fake', "
+                "re-encode to Y4M, or plug a real frame sampler in here"
             )
         raw = np.frombuffer(payload[: self.FEAT_DIM], dtype=np.uint8)
         out = np.zeros(self.FEAT_DIM, dtype=np.float32)

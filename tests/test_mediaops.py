@@ -36,20 +36,59 @@ def test_decode_features_fake_mode(ray_session):
     np.testing.assert_array_equal(f1, f2)
 
 
-def test_decode_strict_mode_raises_only_for_video():
-    # image/audio decode is REAL (PPM/WAV in numpy) — strict mode only
-    # gates the video stub, which genuinely needs a codec stack
-    import pyarrow.compute as pc
-
+def test_decode_strict_mode_raises_only_for_compressed_video():
+    # image/audio/Y4M-video decode is REAL (PPM/WAV/Y4M in numpy) —
+    # strict mode only gates compressed video payloads, which genuinely
+    # need a codec stack
     stage = M.DecodeAndFeaturize(stub_mode="strict")
     media = M.synthesize_media([f"m://x/{i}" for i in range(20)])
     kinds = set(media.column("kind").to_pylist())
     assert kinds == {"image", "audio", "video"}
-    img_audio = media.filter(pc.field("kind") != "video")
-    out = stage(img_audio)
-    assert len(out) == len(img_audio)
+    out = stage(media)  # every synthesized payload decodes for real
+    assert len(out) == len(media)
+    fake_h264 = pa.table(
+        {"media_ref": ["m://z/0"], "kind": ["video"],
+         "payload": [b"\x00\x00\x00\x01\x67compressed-bitstream"],
+         "meta": ["{}"]}, schema=M.MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError, match="video decode"):
-        stage(media.filter(pc.field("kind") == "video"))
+        stage(fake_h264)
+    # fake mode keeps the pipeline runnable on the same payload
+    assert len(M.DecodeAndFeaturize(stub_mode="fake")(fake_h264)) == 1
+
+
+def test_y4m_round_trip():
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (5, 10, 12)).astype(np.uint8)
+    got, fps = M.decode_y4m(M.encode_y4m(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    np.testing.assert_array_equal(got, frames)
+    # C420 payload: luma plane comes back, chroma walked over correctly
+    w, h = 6, 4
+    luma = rng.integers(0, 256, (3, h, w)).astype(np.uint8)
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    pl = b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C420jpeg\n" + b"".join(
+        b"FRAME\n" + luma[i].tobytes() + chroma for i in range(3))
+    got2, _ = M.decode_y4m(pl)
+    np.testing.assert_array_equal(got2, luma)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        M.decode_y4m(b"nope")
+    with pytest.raises(ValueError, match="colorspace"):
+        M.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+
+
+def test_video_feature_frame_sampling():
+    # constant-luma frames -> constant feature; 16 dims = 4 frames x 2x2
+    frames = np.full((8, 6, 6), 51, dtype=np.uint8)
+    f = M.video_feature(frames)
+    assert f.shape == (16,)
+    np.testing.assert_allclose(f, 51.0 / 255.0, rtol=1e-6)
+    # sampling picks evenly spaced frames: frame i has luma i*30
+    ramp = (np.arange(8, dtype=np.uint8) * 30)[:, None, None] * np.ones(
+        (1, 4, 4), dtype=np.uint8)
+    fr = M.video_feature(ramp.astype(np.uint8))
+    np.testing.assert_allclose(
+        fr.reshape(4, 4), np.repeat([[0, 60, 120, 180]], 4, axis=0).T / 255.0,
+        rtol=1e-6)
 
 
 def test_synthesize_media_batching_invariant():
