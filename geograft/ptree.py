@@ -299,24 +299,41 @@ class PTree:
         if self.n == 0 or other.n == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         small, big, flip = (self, other, False) if self.n <= other.n else (other, self, True)
+        # ONE batched traversal: small's leaf boxes are the query batch
+        # against big (locate_batch applies the row-level intersect test
+        # itself), then each surviving (leaf, big_row) pair expands to
+        # the leaf's member rows for one flat member-level test — same
+        # element-test count as a per-leaf dense loop, no Python loop.
+        leaf_lo, leaf_up = small.levels[0]
+        lq, brow = big.locate_batch(leaf_lo, leaf_up, "intersects")
+        if len(lq) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         out_s: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        leaf_lo, leaf_up = small.levels[0]
-        for lf in range(len(leaf_lo)):
-            cand = big._candidate_rows(
-                lambda lo, up, lf=lf: K.env_intersects(lo, up, leaf_lo[lf], leaf_up[lf])
-            )
-            if len(cand) == 0:
+        starts_all = small.leaf_offsets[lq]
+        lens_all = (small.leaf_offsets[lq + 1] - starts_all).astype(np.int64)
+        # chunk on expanded size so the flat test stays cache/RAM-bounded
+        CHUNK = 1 << 22
+        csum = np.cumsum(lens_all)
+        cut = [0]
+        while cut[-1] < len(lq):
+            base = csum[cut[-1] - 1] if cut[-1] else 0
+            nxt = int(np.searchsorted(csum, base + CHUNK, side="left")) + 1
+            cut.append(min(max(nxt, cut[-1] + 1), len(lq)))
+        for c0, c1 in zip(cut[:-1], cut[1:]):
+            lens = lens_all[c0:c1]
+            starts = starts_all[c0:c1]
+            total = int(lens.sum())
+            if total == 0:
                 continue
-            rows = small.order[small.leaf_offsets[lf] : small.leaf_offsets[lf + 1]]
-            # (len(rows), len(cand)) pairwise intersect test
-            hit = (
-                (small.lower[rows][:, None, :] <= big.upper[cand][None, :, :]).all(axis=2)
-                & (small.upper[rows][:, None, :] >= big.lower[cand][None, :, :]).all(axis=2)
-            )
-            si, bi = np.nonzero(hit)
-            out_s.append(rows[si])
-            out_b.append(cand[bi])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            srow = small.order[pos + np.repeat(starts, lens)]
+            bb = np.repeat(brow[c0:c1], lens)
+            keep = ((small.lower[srow] <= big.upper[bb]).all(axis=1)
+                    & (small.upper[srow] >= big.lower[bb]).all(axis=1))
+            out_s.append(srow[keep])
+            out_b.append(bb[keep])
         if not out_s:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         s = np.concatenate(out_s)
