@@ -402,6 +402,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out[["vec_id"]]
 
+    def ann_cosine_topk_ivf(sf):
+        # IVF scale path: spherical-k-means coarse quantizer (k-means||
+        # style two-level maxmin init + per-block partial-sum iterations),
+        # probe nprobe nearest lists per query
+        import pyarrow.parquet as pq
+
+        q = pq.read_table(
+            f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
+        )
+        qv = A._emb_matrix(q)
+        out = A.cosine_topk_ivf(
+            read_parquet_sized(f"{sf}/embeddings.parquet"), qv, k=10,
+            n_centroids=16, nprobe=8, iters=3,
+        )
+        return out[["vec_id"]]
+
     def embedding_neardup(sf):
         # fixture embeddings are near-random (max off-diag cosine ~0.51),
         # so use a threshold that actually surfaces the closest pairs;
@@ -543,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "embedding_neardup": embedding_neardup,
         "media_features": media_features,
         "poly_contains": poly_contains,

@@ -223,13 +223,11 @@ def embedding_neardup(ds, threshold: float = 0.95,
 
     pairs = sig_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
 
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
-
-    uniq = pairs.groupby("__pb").map_groups(dd, batch_format="pandas")
-
+    # cross-band duplicate candidates dedup inside the verify join's own
+    # shuffle (attach_pair_lookup dedups halves in-bucket) — same
+    # barrier-elimination as neardup_minhash
     emb = ds.select_columns([id_col, emb_col])
-    with_b = T.attach_pair_lookup(uniq, emb, id_col, emb_col, "__va", "__vb")
+    with_b = T.attach_pair_lookup(pairs, emb, id_col, emb_col, "__va", "__vb")
 
     def fin(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -245,3 +243,188 @@ def embedding_neardup(ds, threshold: float = 0.95,
                          "cos": cos[keep]})
 
     return with_b.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer (train / assign / probe)
+# ---------------------------------------------------------------------------
+
+def ivf_build(ds, n_centroids: int = 64, iters: int = 4,
+              emb_col: str = "embedding", seed: int = 13) -> np.ndarray:
+    """Train an IVF coarse quantizer with distributed k-means (cosine
+    metric: spherical k-means — vectors and centroids normalized,
+    assignment by max dot product).
+
+    Each iteration is ONE map_batches pass: every block emits its
+    per-centroid partial (sum, count) — an (n_centroids x d) matrix,
+    tiny regardless of data size — and the driver combines partials and
+    renormalizes. No vector ever leaves its block; the only driver
+    state is the centroid matrix itself.
+
+    Init is two-level farthest-point (k-means||-style): every block
+    emits its own n_centroids maxmin representatives (one extra pass,
+    n_centroids x d per block), the driver runs maxmin over the union —
+    robust to inputs ORDERED BY CLUSTER, where a limit() sample would
+    seed a handful of clusters and strand centroids between them.
+    Deterministic for a fixed block layout; empty clusters re-seed from
+    a fixed rotation of the live set.
+    """
+    import ray
+
+    def _maxmin(m: np.ndarray, count: int) -> np.ndarray:
+        picked = [0]
+        mind = 1.0 - m @ m[0]
+        for _ in range(1, min(count, len(m))):
+            nxt = int(np.argmax(mind))
+            picked.append(nxt)
+            mind = np.minimum(mind, 1.0 - m @ m[nxt])
+        return m[picked]
+
+    def block_reps(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"rep": pa.array([], type=pa.list_(pa.float64()))})
+        m = _normalize(_emb_matrix(batch, emb_col))
+        reps = _maxmin(m, n_centroids)
+        off = np.arange(0, reps.size + 1, reps.shape[1], dtype=np.int32)
+        return pa.table({"rep": pa.ListArray.from_arrays(
+            pa.array(off), pa.array(reps.ravel()))})
+
+    rep_blocks = [t for t in ray.get(
+        ds.map_batches(block_reps, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()) if t.num_rows > 0]
+    s = np.concatenate([_emb_matrix(t, "rep") for t in rep_blocks])
+    c = _maxmin(s, n_centroids)
+    d = c.shape[1]
+    import ray
+
+    for _ in range(iters):
+        cref = ray.put(c)
+        kc = len(c)
+
+        def partial(batch: pa.Table, cref=cref, kc=kc) -> pa.Table:
+            cm = ray.get(cref)
+            if len(batch) == 0:
+                return pa.table({
+                    "cid": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64(), d)),
+                })
+            m = _normalize(_emb_matrix(batch, emb_col))
+            assign = np.argmax(m @ cm.T, axis=1)
+            sums = np.zeros((kc, d))
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=kc).astype(np.int64)
+            return pa.table({
+                "cid": np.arange(kc, dtype=np.int64),
+                "cnt": cnt,
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel()), d),
+            })
+
+        parts = ray.get(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .to_arrow_refs())
+        sums = np.zeros((kc, d))
+        cnt = np.zeros(kc, dtype=np.int64)
+        for t in parts:
+            if t.num_rows == 0:
+                continue
+            cid = t.column("cid").to_numpy()
+            cnt[cid] += t.column("cnt").to_numpy()
+            sums[cid] += _emb_matrix(t, "vsum")
+        live = cnt > 0
+        c_new = np.where(live[:, None], sums / np.maximum(cnt, 1)[:, None], c)
+        # empty clusters: re-seed from a fixed rotation of live centroids
+        # with a deterministic nudge so they separate next iteration
+        dead = np.nonzero(~live)[0]
+        if len(dead) and live.any():
+            src = np.nonzero(live)[0][np.arange(len(dead)) % int(live.sum())]
+            rng = np.random.default_rng(seed)
+            c_new[dead] = c_new[src] + rng.standard_normal((len(dead), d)) * 1e-3
+        c = _normalize(c_new)
+    return c
+
+
+def ivf_assign(ds, centroids: np.ndarray, emb_col: str = "embedding"):
+    """Add the coarse-quantizer cell id (`cid`) to every row — the IVF
+    'index build': at scale, follow with write_parquet partitioned by
+    cid so probes read only their lists."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        if len(batch) == 0:
+            return batch.append_column("cid", pa.array([], type=pa.int64()))
+        m = _normalize(_emb_matrix(batch, emb_col))
+        return batch.append_column(
+            "cid", pa.array(np.argmax(m @ cm.T, axis=1).astype(np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def cosine_topk_ivf(ds, query_vecs: np.ndarray, k: int,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    n_centroids: int = 64, nprobe: int = 8, iters: int = 4):
+    """Approximate cosine top-k via an IVF coarse quantizer: train
+    spherical k-means (ivf_build), then each query scans only its
+    `nprobe` nearest centroid lists — work per query drops
+    ~n_centroids/nprobe-fold; recall measured against cosine_topk in
+    tests. Same (qid, -cos, vec_id) output contract as the other paths.
+
+    At scale the build/assign halves run once (persisted partitioned by
+    cid) and only the probe stage runs per query batch."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    cm = ivf_build(ds, n_centroids, iters, emb_col)
+    probes = np.argsort(-(q @ cm.T), axis=1, kind="stable")[:, :nprobe]
+    # centroid -> flat [qids] (sorted per centroid for determinism)
+    order = np.argsort(probes.ravel(), kind="stable")
+    flat_cid = probes.ravel()[order]
+    flat_qid = np.repeat(np.arange(len(q), dtype=np.int64), nprobe)[order]
+    qref = ray.put({"q": q, "cm": cm, "cids": flat_cid, "qids": flat_qid})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = ray.get(qref)
+        empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                          id_col: pa.array([], type=pa.int64()),
+                          "cos": pa.array([], type=pa.float64())})
+        n = len(batch)
+        if n == 0:
+            return empty
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy()
+        rid = np.argsort(ids, kind="stable")   # (cos, id) tie contract
+        ids, m = ids[rid], m[rid]
+        assign = np.argmax(m @ st["cm"].T, axis=1)
+        out_q, out_i, out_c = [], [], []
+        from .ops import _topk_rows_per_col
+
+        for cid in np.unique(assign):
+            s0 = np.searchsorted(st["cids"], cid, side="left")
+            s1 = np.searchsorted(st["cids"], cid, side="right")
+            if s1 == s0:
+                continue
+            qis = st["qids"][s0:s1]
+            rows = assign == cid
+            sims = m[rows] @ st["q"][qis].T
+            kk = min(k, int(rows.sum()))
+            part = _topk_rows_per_col(-sims, kk)
+            out_q.append(np.repeat(qis, kk))
+            out_i.append(ids[rows][part].ravel(order="F"))
+            out_c.append(np.take_along_axis(sims, part, axis=0).ravel(order="F"))
+        if not out_q:
+            return empty
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "cos": np.concatenate(out_c)})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    pdf = cand.to_pandas()
+    if len(pdf) == 0:
+        return pdf
+    pdf = pdf.sort_values(["qid", "cos", id_col], ascending=[True, False, True],
+                          kind="stable")
+    return pdf.groupby("qid", sort=True).head(k).reset_index(drop=True)

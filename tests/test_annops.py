@@ -127,3 +127,58 @@ def test_embedding_neardup_recall_on_planted_dups(ray_session):
     assert len(got_pairs) / len(true_pairs) >= 0.9   # banded recall
     for r in got.itertuples():
         np.testing.assert_allclose(r.cos, sims[r.a, r.b])
+
+def test_ivf_build_assign_and_recall(ray_session):
+    # clustered synthetic embeddings: IVF must recover near-perfect
+    # recall probing a fraction of the centroids, and report EXACT
+    # cosine values for everything it returns
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n_clusters, per, d = 12, 300, 16
+    centers = A._normalize(rng.standard_normal((n_clusters, d)))
+    pts = np.repeat(centers, per, axis=0) + 0.08 * rng.standard_normal(
+        (n_clusters * per, d))
+    ids = np.arange(len(pts), dtype=np.int64)
+    flat = pts.astype(np.float32).ravel()
+    t = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(flat), d),
+    })
+
+    def ds():
+        return rd.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=512)
+
+    cm = A.ivf_build(ds(), n_centroids=n_clusters, iters=5)
+    assert cm.shape == (n_clusters, d)
+    np.testing.assert_allclose(np.linalg.norm(cm, axis=1), 1.0, rtol=1e-9)
+    # every trained centroid sits near one true cluster center
+    best = (A._normalize(cm) @ centers.T).max(axis=1)
+    assert (best > 0.95).all(), f"centroids off-cluster: {best}"
+
+    assigned = A.ivf_assign(ds(), cm).to_pandas()
+    assert assigned["cid"].nunique() == n_clusters
+
+    q = pts[::500][:6]
+    exact = A.cosine_topk(ds(), q, k=10)
+    approx = A.cosine_topk_ivf(ds(), q, k=10, n_centroids=n_clusters,
+                               nprobe=3, iters=5)
+    # reference from the STORED (float32-rounded) values, like the ops
+    mn = A._normalize(pts.astype(np.float32).astype(np.float64))
+    qn = A._normalize(q)
+    sims = mn @ qn.T
+    recalls = []
+    for qi in range(len(q)):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        a = approx[approx["qid"] == qi]
+        recalls.append(len(e & set(a["vec_id"])) / len(e))
+        for r in a.itertuples():  # soundness: exact cosine on every row
+            np.testing.assert_allclose(r.cos, sims[r.vec_id, qi], rtol=1e-9)
+    assert np.mean(recalls) >= 0.95, f"IVF recall too low: {recalls}"
+
+    # deterministic end to end
+    again = A.cosine_topk_ivf(ds(), q, k=10, n_centroids=n_clusters,
+                              nprobe=3, iters=5)
+    assert approx.reset_index(drop=True).equals(again.reset_index(drop=True))
