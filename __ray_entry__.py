@@ -364,6 +364,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def jaccard_pairs(sf):
         return T.jaccard_pairs_exact(_docs(sf), tau=0.5)
 
+    def jaccard_pairs_prefix(sf):
+        # AllPairs prefix filtering (Bayardo et al. 2007): indexes only
+        # each doc's smallest (1-tau)|A|+1 shingle hashes, then verifies
+        # candidates exactly — SAME oracle as jaccard_pairs (exact), at
+        # a (1-tau)^2 fraction of the quadratic pair expansion
+        return T.jaccard_pairs_exact(_docs(sf), tau=0.5, prefix_filter=True)
+
     def neardup_minhash(sf):
         # probabilistic recall -> rows-only check; soundness proven in pytest
         return T.neardup_minhash(_docs(sf), tau=0.8)
@@ -553,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": token_stats,
         "bpe_token_stats": bpe_token_stats,
         "jaccard_pairs": jaccard_pairs,
+        "jaccard_pairs_prefix": jaccard_pairs_prefix,
         "neardup_minhash": neardup_minhash,
         "lang_id": lang_id,
         "simhash": simhash,
@@ -585,7 +593,7 @@ def oracle_sql() -> dict[str, str]:
     ax, ay = AT_POINT_Q
     cx, cy = CONTAINS_Q
     b = FX.POINTS_BOUNDS
-    return {
+    out = {
         "iter_all": f"SELECT id, x, y FROM ({P})",
         "locate_in_envelope": (
             f"SELECT id, x, y FROM ({P}) WHERE x BETWEEN {ex0} AND {ex1} "
@@ -816,3 +824,8 @@ def oracle_sql() -> dict[str, str]:
             "vec_id LIMIT 10"
         ),
     }
+    # AllPairs prefix filtering is EXACT (the smallest common shingle of
+    # any tau-similar pair is indexed on both sides), so the prefix path
+    # answers the SAME oracle as the full inverted index
+    out["jaccard_pairs_prefix"] = out["jaccard_pairs"]
+    return out

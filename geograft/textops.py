@@ -645,7 +645,8 @@ def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def jaccard_pairs_exact(ds, tau: float, k: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        df_cap: int | None = None):
+                        df_cap: int | None = None,
+                        prefix_filter: bool = False):
     """ALL pairs with k-gram Jaccard >= tau via a distributed shingle
     inverted index: explode distinct shingles (each row carrying its
     doc's shingle-set size — no driver-side sizes broadcast),
@@ -662,6 +663,17 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
     against full shingle sets — reported pairs stay exact; only pairs
     ALL of whose common shingles are hot can be missed (the documented
     contract, standard stop-word practice). df_cap=None is fully exact.
+
+    ``prefix_filter``: AllPairs prefix filtering (Bayardo et al., WWW
+    2007) — index only each doc's |A| - ceil(tau*|A|) + 1 smallest
+    shingle hashes. For any pair with J >= tau the common shingle count
+    c >= ceil(tau*max(|A|,|B|)), so the SMALLEST common shingle sits
+    within the first |X| - c + 1 <= prefix elements of BOTH docs: every
+    qualifying pair still collides in the index, and candidates go
+    through the exact verification join — EXACT results from a
+    (1-tau)-fraction index. This is the 100-TB shape: the quadratic
+    pair expansion shrinks ~(1-tau)^2-fold and the shuffled index rows
+    drop by tau, at the cost of one extra exchange (the verify join).
     """
 
     def shingles(b: pa.Table) -> pa.Table:
@@ -670,6 +682,17 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         # per-doc distinct-shingle count rides along on every index row:
         # the pair stage reads sizes from its own co-located rows
         sizes = np.bincount(doc_idx, minlength=len(b))
+        if prefix_filter and len(doc_idx):
+            # _shingle_hashes output is doc-segment-contiguous with
+            # shingle hashes ASCENDING inside each segment (its lexsort
+            # orders by (doc, hash)) — the prefix is a positional mask
+            lens = sizes[doc_idx]
+            starts = np.cumsum(sizes) - sizes
+            pos = np.arange(len(doc_idx), dtype=np.int64) - starts[doc_idx]
+            pfx = lens - np.ceil(tau * lens).astype(np.int64) + 1
+            keep = pos < pfx
+            doc_idx, sh = doc_idx[keep], sh[keep]
+            ids = b.column(id_col).take(pa.array(doc_idx))
         return pa.table(
             {
                 id_col: ids,
@@ -715,7 +738,7 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
 
     inter = partial.groupby("__pb").map_groups(sum_pairs, batch_format="pandas")
 
-    if df_cap is None:
+    if df_cap is None and not prefix_filter:
         def finalize(b: pa.Table) -> pa.Table:
             if len(b) == 0:
                 return pa.table({"a": pa.array([], type=pa.int64()),
@@ -732,10 +755,29 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
 
         return inter.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
-    # df_cap path: the capped index undercounts intersections for pairs
-    # that shared hot shingles, so candidates go through the exact
-    # verification join instead of the in-place algebra
-    cand = inter.map_batches(
-        lambda b: b.select(["a", "b"]), batch_format="pyarrow", batch_size=None
-    )
+    # df_cap / prefix_filter path: the reduced index undercounts
+    # intersections (hot shingles dropped / suffix shingles unindexed),
+    # so candidates go through the exact verification join instead of
+    # the in-place algebra
+    def cand_filter(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        c = b.column("c").to_numpy().astype(np.float64)
+        sa = b.column("sa").to_numpy().astype(np.float64)
+        sb = b.column("sb").to_numpy().astype(np.float64)
+        # length filter (exact): J >= tau needs min(|A|,|B|) >= tau*max
+        keep = np.minimum(sa, sb) * (1.0 + 1e-12) >= tau * np.maximum(sa, sb)
+        if prefix_filter and df_cap is None:
+            # PPJoin-style remaining-overlap filter (exact): total
+            # overlap <= prefix overlap c + min suffix sizes, where
+            # suffix = |X| - p(X) = ceil(tau*|X|) - 1; J >= tau needs
+            # total overlap >= tau/(1+tau)*(|A|+|B|). Kills the
+            # one-shared-shingle candidate flood BEFORE any text ships.
+            max_total = c + np.minimum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
+            keep &= max_total * (1.0 + tau) * (1.0 + 1e-12) >= tau * (sa + sb)
+        t = b.filter(pa.array(keep))
+        return pa.table({"a": t.column("a"), "b": t.column("b")})
+
+    cand = inter.map_batches(cand_filter, batch_format="pyarrow", batch_size=None)
     return verify_jaccard_pairs(cand, ds, tau, k, text_col, id_col)

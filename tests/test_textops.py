@@ -165,3 +165,41 @@ def test_jaccard_hot_shingle_guard(ray_session):
     row = out[(out["a"] == 0) & (out["b"] == 1)].iloc[0]
     want = 4 / (5 + 5 - 4)
     np.testing.assert_allclose(row["jaccard"], want)
+
+def test_jaccard_prefix_filter_matches_exact(ray_session, sf_small):
+    """AllPairs prefix filtering is EXACT: any tau-similar pair shares
+    its smallest common shingle within both prefixes, so the reduced
+    index finds the same pair set and verification the same values."""
+    for tau in (0.3, 0.5, 0.8):
+        got_exact = T.jaccard_pairs_exact(docs_ds(sf_small), tau=tau).to_pandas()
+        got_pfx = T.jaccard_pairs_exact(
+            docs_ds(sf_small), tau=tau, prefix_filter=True).to_pandas()
+        a = set(zip(got_exact["a"], got_exact["b"]))
+        b = set(zip(got_pfx["a"], got_pfx["b"]))
+        assert a == b, f"tau={tau}: prefix pair set diverged"
+        ja = got_exact.sort_values(["a", "b"])["jaccard"].to_numpy()
+        jb = got_pfx.sort_values(["a", "b"])["jaccard"].to_numpy()
+        np.testing.assert_allclose(ja, jb)
+    assert len(a) > 0
+
+
+def test_jaccard_prefix_filter_shrinks_index(ray_session):
+    """The prefix index holds ~(1-tau)|A|+1 shingles per doc, and
+    identical docs are still found at tau=1.0-epsilon (the smallest
+    shingle is always indexed)."""
+    import ray.data as rd
+
+    n = 500
+    texts = [f"one two three four five six seven eight nine ten doc{i}"
+             for i in range(n)]
+    texts[7] = texts[3]  # plant an exact duplicate pair
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    out = T.jaccard_pairs_exact(
+        rd.from_arrow(t), tau=0.95, prefix_filter=True).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {(3, 7)}
+    np.testing.assert_allclose(out["jaccard"].to_numpy(), [1.0])
+    # index volume check: prefix keeps |A| - ceil(tau|A|) + 1 rows/doc
+    doc_idx, sh = T._shingle_hashes(t.column("text"), 3)
+    sizes = np.bincount(doc_idx, minlength=n)
+    pfx = sizes - np.ceil(0.95 * sizes).astype(np.int64) + 1
+    assert pfx.sum() < 0.25 * sizes.sum()
