@@ -361,6 +361,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bpe_token_stats(sf):
         return T.bpe_token_stats(_docs(sf))
 
+    def dedup_exact_checkpointed(sf):
+        # resumable partitioned-output variant: survivors land one
+        # parquet file per content-hash bucket + manifest; a rerun
+        # skips finished buckets. Same result set as dedup_exact.
+        import os
+        import shutil
+        import tempfile
+
+        import ray.data as rd
+
+        out = os.path.join(tempfile.gettempdir(),
+                           "geograft_q_dedup_" + sf.strip("/").replace("/", "_"))
+        shutil.rmtree(out, ignore_errors=True)
+        man = T.checkpointed_dedup_exact(_docs(sf), out)
+        files = [os.path.join(out, b["file"]) for b in man["buckets"].values()
+                 if b["rows"] > 0]
+        return rd.read_parquet(files).select_columns(["doc_id"])
+
     def jaccard_pairs(sf):
         return T.jaccard_pairs_exact(_docs(sf), tau=0.5)
 
@@ -557,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_geometry_join": tile_geometry_join,
         "extract_geo_spans": extract_geo_spans,
         "dedup_exact": dedup_exact,
+        "dedup_exact_checkpointed": dedup_exact_checkpointed,
         "token_stats": token_stats,
         "bpe_token_stats": bpe_token_stats,
         "jaccard_pairs": jaccard_pairs,
@@ -745,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
             "value AS x, CAST(user_id AS DOUBLE) AS y FROM events"
         ),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_exact_checkpointed": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_stats": (
             "SELECT doc_id, "
             "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens, "

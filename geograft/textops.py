@@ -781,3 +781,78 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
 
     cand = inter.map_batches(cand_filter, batch_format="pyarrow", batch_size=None)
     return verify_jaccard_pairs(cand, ds, tau, k, text_col, id_col)
+
+
+def checkpointed_dedup_exact(ds, out_dir: str, text_col: str = "text",
+                             id_col: str = "doc_id", resume: bool = True) -> dict:
+    """dedup_exact with resumable, partitioned output — the shape a
+    100-TB dedup run needs: survivors are written one parquet file per
+    content-hash bucket (`survivors-{bucket}.parquet`, atomic rename)
+    plus a manifest recording rows/bytes/wall_ms per bucket. On rerun,
+    finished buckets are filtered out BEFORE the shuffle — their rows
+    never enter the exchange, so a resumed run only pays for the
+    missing partitions. Returns the manifest; read results with
+    read_parquet(out_dir)."""
+    import json
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, "manifest.json")
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            done = json.load(f)["buckets"]
+    done_ids = np.fromiter((int(k) for k in done), dtype=np.int64,
+                           count=len(done))
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = (_stable_hash(b.column(text_col)) % np.uint64(N_COARSE)).astype(np.int64)
+        keep = ~np.isin(h, done_ids)
+        return (
+            b.select([id_col, text_col])
+            .append_column("__bucket", pa.array(h))
+            .filter(pa.array(keep))
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bucket": np.int64, "rows": np.int64, "bytes": np.int64,
+                "wall_ms": float}
+        if len(g) == 0 or "__bucket" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        t0 = time.perf_counter()
+        bucket = int(g["__bucket"].iloc[0])
+        out = (g.groupby(text_col, sort=False)[id_col].min()
+               .reset_index(drop=False)[[id_col]].sort_values(id_col))
+        fname = os.path.join(out_dir, f"survivors-{bucket}.parquet")
+        tmp = fname + ".tmp"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, fname)
+        return pd.DataFrame({"bucket": [bucket], "rows": [len(out)],
+                             "bytes": [os.path.getsize(fname)],
+                             "wall_ms": [round((time.perf_counter() - t0) * 1e3, 2)]})
+
+    stats = hashed.groupby("__bucket").map_groups(
+        write_bucket, batch_format="pandas").to_pandas()
+    buckets = dict(done)
+    for r in stats.itertuples():
+        buckets[str(int(r.bucket))] = {
+            "file": f"survivors-{int(r.bucket)}.parquet",
+            "rows": int(r.rows), "bytes": int(r.bytes),
+            "wall_ms": float(r.wall_ms),
+        }
+    man = {
+        "n_buckets": N_COARSE,
+        "total_survivors": sum(b["rows"] for b in buckets.values()),
+        "built_buckets": len(stats), "resumed_buckets": len(done),
+        "buckets": buckets,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, man_path)
+    return man

@@ -203,3 +203,36 @@ def test_jaccard_prefix_filter_shrinks_index(ray_session):
     sizes = np.bincount(doc_idx, minlength=n)
     pfx = sizes - np.ceil(0.95 * sizes).astype(np.int64) + 1
     assert pfx.sum() < 0.25 * sizes.sum()
+
+def test_checkpointed_dedup_resume(ray_session, sf_small, tmp_path):
+    """Partitioned survivor output + manifest; a rerun skips every
+    finished bucket; a damaged bucket is rebuilt alone; the union of
+    survivor files equals dedup_exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "dedup_ckpt")
+    man = T.checkpointed_dedup_exact(docs_ds(sf_small), out)
+    assert man["resumed_buckets"] == 0 and man["built_buckets"] > 0
+    want = set(T.dedup_exact(docs_ds(sf_small)).to_pandas()["doc_id"])
+    got = set(pq.read_table(out, ignore_prefixes=["manifest", "."]).column("doc_id").to_pylist())
+    assert got == want
+    # full resume: nothing rebuilt
+    man2 = T.checkpointed_dedup_exact(docs_ds(sf_small), out)
+    assert man2["built_buckets"] == 0
+    assert man2["resumed_buckets"] == man["built_buckets"]
+    assert man2["total_survivors"] == man["total_survivors"]
+    # damage one bucket -> only it rebuilds
+    import json
+    victim = next(iter(man2["buckets"]))
+    os.remove(os.path.join(out, man2["buckets"][victim]["file"]))
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    del m["buckets"][victim]
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    man3 = T.checkpointed_dedup_exact(docs_ds(sf_small), out)
+    assert man3["built_buckets"] == 1
+    got3 = set(pq.read_table(out, ignore_prefixes=["manifest", "."]).column("doc_id").to_pylist())
+    assert got3 == want
