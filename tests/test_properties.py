@@ -111,3 +111,53 @@ def test_replication_owner_unique(seed):
     for i in range(n):
         mine = cells[rows == i]
         assert (mine == owners[i]).sum() == 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 6), st.integers(2, 16), st.integers(2, 16),
+       st.integers(0, 2**31 - 1))
+def test_y4m_round_trip_property(t, h, w, seed):
+    # any frame count / geometry round-trips bit-exact through the
+    # YUV4MPEG2 codec (mono path)
+    from geograft import mediaops as M
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (t, h, w)).astype(np.uint8)
+    got, fps = M.decode_y4m(M.encode_y4m(frames))
+    assert fps == (25, 1)
+    np.testing.assert_array_equal(got, frames)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.floats(0.2, 0.95))
+def test_jaccard_prefix_candidates_complete(seed, tau):
+    # property behind the AllPairs prefix filter: for ANY random corpus
+    # and tau, every pair with J >= tau shares its smallest common
+    # shingle inside both docs' prefixes — the index can't lose a pair
+    from geograft import textops as T
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(4, 20)))
+             for _ in range(n)]
+    # plant a couple of heavy overlaps
+    texts[1] = texts[0]
+    texts[3] = texts[2] + " w0"
+    import pyarrow as pa
+
+    doc_idx, sh = T._shingle_hashes(pa.array(texts), 3)
+    sets = [set() for _ in range(n)]
+    for d, s in zip(doc_idx, sh):
+        sets[d].add(int(s))
+    # prefix per doc = smallest (len - ceil(tau*len) + 1) hashes
+    prefixes = [set(sorted(s)[: len(s) - int(np.ceil(tau * len(s))) + 1])
+                for s in sets]
+    for i in range(n):
+        for j in range(i + 1, n):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= tau:
+                assert prefixes[i] & prefixes[j], (
+                    f"tau-similar pair ({i},{j}) invisible to prefix index")
