@@ -399,6 +399,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash(sf):
         return T.simhash(_docs(sf))
 
+    def neardup_simhash_pairs(sf):
+        # exact hamming-threshold pairs at the signature level
+        # (pigeonhole banding + XOR-popcount verification); brute-force
+        # equality oracle lives in tests — no SQL can express simhash
+        return T.neardup_simhash(_docs(sf), max_hamming=8)
+
     def doc_fingerprint(sf):
         return T.fingerprint(_docs(sf))
 
@@ -583,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_minhash": neardup_minhash,
         "lang_id": lang_id,
         "simhash": simhash,
+        "neardup_simhash_pairs": neardup_simhash_pairs,
         "doc_fingerprint": doc_fingerprint,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,

@@ -639,6 +639,69 @@ def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def neardup_simhash(ds, max_hamming: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """ALL pairs whose 64-bit SimHash signatures differ in at most
+    ``max_hamming`` bits — EXACT at the signature level by pigeonhole
+    banding: the 64 bits split into max_hamming+1 disjoint bands, so a
+    pair within the threshold has zero differing bits in at least one
+    band and collides there. Candidates ride an ids-only band shuffle;
+    both signatures are attached in one hash-join pass
+    (attach_pair_lookup, which also dedups cross-band duplicates) and
+    the exact XOR popcount filters. Completes the dedup family: exact
+    (hash), MinHash-LSH (probabilistic Jaccard), n-gram Jaccard
+    (exact), SimHash (exact hamming), embedding cosine."""
+    nb = max_hamming + 1
+    cuts = np.linspace(0, 64, nb + 1).astype(np.uint64)
+    sig = simhash(ds, text_col, id_col)
+
+    def bands(b: pa.Table) -> pa.Table:
+        h = b.column("simhash").to_numpy().astype(np.uint64)
+        n = len(h)
+        out_id = np.tile(b.column(id_col).to_numpy(), nb)
+        out_band = np.repeat(np.arange(nb, dtype=np.int64), n)
+        keys = np.concatenate([
+            ((h >> cuts[i]) & ((np.uint64(1) << (cuts[i + 1] - cuts[i])) - np.uint64(1)))
+            for i in range(nb)
+        ]).astype(np.int64)
+        coarse = (
+            keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + out_band.astype(np.uint64)
+        ) % np.uint64(N_COARSE)
+        return pa.table({id_col: out_id, "band": out_band, "key": keys,
+                         "__bucket": coarse.astype(np.int64)})
+
+    band_ds = sig.map_batches(bands, batch_format="pyarrow", batch_size=None)
+
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[id_col, "band", "key"]]
+        m = g.merge(g, on=["band", "key"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        a = out[f"{id_col}_a"].to_numpy(dtype=np.int64)
+        b = out[f"{id_col}_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"a": a, "b": b, "__pb": _pair_bucket(a, b)})
+
+    pairs = band_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
+    with_h = attach_pair_lookup(pairs, sig, id_col, "simhash", "__ha", "__hb")
+
+    def fin(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        x = (b.column("__ha").to_numpy().astype(np.uint64)
+             ^ b.column("__hb").to_numpy().astype(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(
+            axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"a": b.column("a").to_numpy()[keep],
+                         "b": b.column("b").to_numpy()[keep],
+                         "hamming": ham[keep]})
+
+    return with_h.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard pairs via token inverted index (SQL-oracle-able)
 # --------------------------------------------------------------------------

@@ -236,3 +236,31 @@ def test_checkpointed_dedup_resume(ray_session, sf_small, tmp_path):
     assert man3["built_buckets"] == 1
     got3 = set(pq.read_table(out, ignore_prefixes=["manifest", "."]).column("doc_id").to_pylist())
     assert got3 == want
+
+def test_neardup_simhash_exact_vs_brute(ray_session):
+    """Pigeonhole banding is exhaustive at the signature level: the op's
+    pair set equals brute-force all-pairs hamming on the same simhash
+    signatures, including the hamming values."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{i}" for i in range(60)]
+    n = 250
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(n)]
+    # planted near-dups: single-token edits of shared bases
+    for i in range(0, 40, 4):
+        base = texts[i].split()
+        base[3] = "edited"
+        texts[i + 1] = " ".join(base)
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+    got = T.neardup_simhash(rd.from_arrow(t), max_hamming=6).to_pandas()
+    sig = T.simhash(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    h = sig["simhash"].to_numpy().astype(np.uint64)
+    x = h[:, None] ^ h[None, :]
+    ham = np.unpackbits(x.view(np.uint8)).reshape(n, n, 64).sum(axis=2)
+    ii, jj = np.nonzero((ham <= 6) & (np.arange(n)[:, None] < np.arange(n)[None, :]))
+    want = {(int(a), int(b)): int(ham[a, b]) for a, b in zip(ii, jj)}
+    got_map = {(int(r.a), int(r.b)): int(r.hamming) for r in got.itertuples()}
+    assert got_map == want
+    assert len(want) > 0, "planted near-dups must collide"
