@@ -505,6 +505,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- stream-shaped ops (events log) -----------------------------------
     from geograft import eventops as EV
 
+    def events_hopping(sf):
+        # hopping windows (1h window, 15min hop): each event aggregates
+        # into 4 overlapping windows — replicated inside the batch,
+        # partials through the exchange
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = EV.hopping_window_agg(
+            read_parquet_sized(f"{sf}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+        )
+
+        def rnd(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.column_names.index("sum_value"), "sum_value",
+                pc.round(b.column("sum_value"), ndigits=6))
+
+        return out.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+
     def events_window(sf):
         import numpy as np
         import pyarrow as pa
@@ -599,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_contains": poly_contains,
         "line_within_distance": line_within_distance,
         "events_window": events_window,
+        "events_hopping": events_hopping,
         "events_sessions": events_sessions,
         "events_asof_orders": events_asof_orders,
     }
@@ -827,6 +847,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 6) AS sum_value, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events), "
+            "w AS (SELECT user_id, value, unnest(generate_series("
+            "CAST(floor((tus - 3600000000)/900000000.0) + 1 AS BIGINT), "
+            "CAST(floor(tus/900000000.0) AS BIGINT))) AS win FROM e) "
+            "SELECT user_id, win, count(*) AS n, round(sum(value), 6) AS sum_value, "
+            "min(value) AS min_value, max(value) AS max_value "
+            "FROM w GROUP BY 1, 2"
         ),
         "events_sessions": (
             "WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, "

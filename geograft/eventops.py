@@ -79,6 +79,62 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
     return part.groupby("__bucket").map_groups(combine, batch_format="pandas")
 
 
+def hopping_window_agg(ds, window_us: int = US_PER_HOUR,
+                       hop_us: int = US_PER_HOUR // 4,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       val_col: str = "value"):
+    """Per (key, hopping window): count + sum + min + max of value.
+    Window w covers [w*hop, w*hop + window); an event belongs to the
+    window/hop overlapping windows. Same partial-aggregate shape as the
+    tumbling op — each event is replicated to its windows INSIDE the
+    batch (vectorized expansion), partials pre-combine per batch, and
+    the exchange carries one row per (key, window) per batch, never
+    the replicated events."""
+    from .ops import coarse_bucket_ids
+    from . import textops as T
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b.column(ts_col)).to_numpy()
+        w_hi = ts // hop_us
+        w_lo = (ts - window_us) // hop_us + 1
+        reps = (w_hi - w_lo + 1).astype(np.int64)
+        total = int(reps.sum())
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        win = np.repeat(w_lo, reps) + pos
+        key = np.repeat(b.column(key_col).to_numpy(), reps)
+        val = np.repeat(b.column(val_col).to_numpy(), reps)
+        pair = np.stack([key, win], axis=1)
+        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=val)
+        mn = np.full(len(uniq), np.inf)
+        mx = np.full(len(uniq), -np.inf)
+        np.minimum.at(mn, inv, val)
+        np.maximum.at(mx, inv, val)
+        return pa.table(
+            {
+                key_col: uniq[:, 0],
+                "win": uniq[:, 1],
+                "n": n.astype(np.int64),
+                "sum_value": s,
+                "min_value": mn,
+                "max_value": mx,
+                "__bucket": coarse_bucket_ids(uniq[:, 0], T.N_COARSE),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([key_col, "win"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum"),
+            min_value=("min_value", "min"), max_value=("max_value", "max"),
+        ).reset_index()
+
+    return part.groupby("__bucket").map_groups(combine, batch_format="pandas")
+
+
 def asof_join(left_ds, right_ds, left_key: str, right_key: str,
               left_ts: str, right_ts: str, right_cols: list[str]):
     """As-of join: for each left row, the latest right row with the same

@@ -69,3 +69,40 @@ def test_session_windows_vs_sql(ray_session, con, sf_small):
     """).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_events"].sum() == 1000
+
+def test_hopping_window_vs_brute(ray_session, sf_small):
+    """Every event lands in exactly window/hop overlapping windows;
+    aggregates equal a brute-force replicate + pandas groupby."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geograft import eventops as EV
+
+    t = pq.read_table(f"{sf_small}/events.parquet",
+                      columns=["ts", "user_id", "value"])
+    W, H = EV.US_PER_HOUR, EV.US_PER_HOUR // 4
+    got = EV.hopping_window_agg(
+        rd.from_arrow(t), window_us=W, hop_us=H
+    ).to_pandas().sort_values(["user_id", "win"]).reset_index(drop=True)
+
+    ts = EV._ts_us(t.column("ts")).to_numpy()
+    rows = []
+    for tus, u, v in zip(ts, t.column("user_id").to_numpy(),
+                         t.column("value").to_numpy()):
+        w_lo = (tus - W) // H + 1
+        w_hi = tus // H
+        assert w_hi - w_lo + 1 == W // H
+        for w in range(int(w_lo), int(w_hi) + 1):
+            rows.append((u, w, v))
+    df = pd.DataFrame(rows, columns=["user_id", "win", "value"])
+    want = df.groupby(["user_id", "win"]).agg(
+        n=("value", "size"), sum_value=("value", "sum"),
+        min_value=("value", "min"), max_value=("value", "max")
+    ).reset_index().sort_values(["user_id", "win"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "win", "n", "min_value", "max_value"]],
+        want[["user_id", "win", "n", "min_value", "max_value"]],
+        check_dtype=False)
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"], rtol=1e-12)
