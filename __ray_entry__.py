@@ -508,21 +508,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_hopping(sf):
         # hopping windows (1h window, 15min hop): each event aggregates
         # into 4 overlapping windows — replicated inside the batch,
-        # partials through the exchange
+        # partials through the exchange. Sums compare as integer MICROS:
+        # engine and DuckDB accumulate floats in different orders, and
+        # round(x, 6) of two 1-ulp-apart sums is itself not bit-stable.
+        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         out = EV.hopping_window_agg(
             read_parquet_sized(f"{sf}/events.parquet",
                                columns=["ts", "user_id", "value"])
         )
 
-        def rnd(b: pa.Table) -> pa.Table:
-            return b.set_column(
-                b.column_names.index("sum_value"), "sum_value",
-                pc.round(b.column("sum_value"), ndigits=6))
+        def micros(b: pa.Table) -> pa.Table:
+            s = np.rint(b.column("sum_value").to_numpy() * 1e6).astype(np.int64)
+            b = b.drop_columns(["sum_value"])
+            return b.append_column("sum_micro", pa.array(s))
 
-        return out.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+        return out.map_batches(micros, batch_format="pyarrow", batch_size=None)
 
     def events_window(sf):
         import numpy as np
@@ -853,7 +855,8 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT user_id, value, unnest(generate_series("
             "CAST(floor((tus - 3600000000)/900000000.0) + 1 AS BIGINT), "
             "CAST(floor(tus/900000000.0) AS BIGINT))) AS win FROM e) "
-            "SELECT user_id, win, count(*) AS n, round(sum(value), 6) AS sum_value, "
+            "SELECT user_id, win, count(*) AS n, "
+            "CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_micro, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM w GROUP BY 1, 2"
         ),
