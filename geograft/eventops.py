@@ -30,6 +30,32 @@ def _ts_us(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":
     return col.cast(pa.int64())
 
 
+def _key_hash_for_bucket(key: "pa.Array") -> np.ndarray:
+    """int64 hash view of a key column for coarse bucketing — integer
+    keys pass through (dtype-widened only for the hash, never in the
+    output schema); strings go through the stable 64-bit text hash."""
+    if pa.types.is_integer(key.type):
+        return key.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    from . import textops as T
+    return T._stable_hash(key.cast(pa.string())).astype(np.int64)
+
+
+def _group_key_window(key_arr: "pa.Array", win: np.ndarray):
+    """Group rows on (key, window) without stacking heterogeneous
+    dtypes: factorize each axis separately and combine the codes. The
+    key keeps its exact input dtype in the output (string user ids
+    work; narrow ints are not promoted to int64)."""
+    kcodes, kuniq = pd.factorize(key_arr.to_numpy(zero_copy_only=False),
+                                 sort=True)
+    wuniq, wcodes = np.unique(win, return_inverse=True)
+    comb = kcodes.astype(np.int64) * len(wuniq) + wcodes
+    cu, inv = np.unique(comb, return_inverse=True)
+    out_key = pa.array(kuniq).take(pa.array(cu // len(wuniq))).cast(
+        key_arr.type)
+    out_win = wuniq[cu % len(wuniq)]
+    return out_key, out_win, inv, len(cu)
+
+
 def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
                         key_col: str = "user_id", ts_col: str = "ts",
                         val_col: str = "value"):
@@ -45,25 +71,27 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
     def partial(b: pa.Table) -> pa.Table:
         ts = _ts_us(b.column(ts_col)).to_numpy()  # epoch micros
         win = ts // window_us
-        key = b.column(key_col).to_numpy()
+        key_arr = b.column(key_col)
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
         val = b.column(val_col).to_numpy()
-        pair = np.stack([key, win], axis=1)
-        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        out_key, out_win, inv, ng = _group_key_window(key_arr, win)
         n = np.bincount(inv)
         s = np.bincount(inv, weights=val)
-        mn = np.full(len(uniq), np.inf)
-        mx = np.full(len(uniq), -np.inf)
+        mn = np.full(ng, np.inf)
+        mx = np.full(ng, -np.inf)
         np.minimum.at(mn, inv, val)
         np.maximum.at(mx, inv, val)
         return pa.table(
             {
-                key_col: uniq[:, 0],
-                "win": uniq[:, 1],
+                key_col: out_key,
+                "win": out_win,
                 "n": n.astype(np.int64),
                 "sum_value": s,
                 "min_value": mn,
                 "max_value": mx,
-                "__bucket": coarse_bucket_ids(uniq[:, 0], T.N_COARSE),
+                "__bucket": coarse_bucket_ids(
+                    _key_hash_for_bucket(out_key), T.N_COARSE),
             }
         )
 
@@ -102,25 +130,29 @@ def hopping_window_agg(ds, window_us: int = US_PER_HOUR,
         pos = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(reps) - reps, reps)
         win = np.repeat(w_lo, reps) + pos
-        key = np.repeat(b.column(key_col).to_numpy(), reps)
+        key_arr = b.column(key_col)
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
+        key_rep = key_arr.take(pa.array(np.repeat(
+            np.arange(len(b), dtype=np.int64), reps)))
         val = np.repeat(b.column(val_col).to_numpy(), reps)
-        pair = np.stack([key, win], axis=1)
-        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        out_key, out_win, inv, ng = _group_key_window(key_rep, win)
         n = np.bincount(inv)
         s = np.bincount(inv, weights=val)
-        mn = np.full(len(uniq), np.inf)
-        mx = np.full(len(uniq), -np.inf)
+        mn = np.full(ng, np.inf)
+        mx = np.full(ng, -np.inf)
         np.minimum.at(mn, inv, val)
         np.maximum.at(mx, inv, val)
         return pa.table(
             {
-                key_col: uniq[:, 0],
-                "win": uniq[:, 1],
+                key_col: out_key,
+                "win": out_win,
                 "n": n.astype(np.int64),
                 "sum_value": s,
                 "min_value": mn,
                 "max_value": mx,
-                "__bucket": coarse_bucket_ids(uniq[:, 0], T.N_COARSE),
+                "__bucket": coarse_bucket_ids(
+                    _key_hash_for_bucket(out_key), T.N_COARSE),
             }
         )
 

@@ -154,7 +154,12 @@ def env_center(lower, upper) -> np.ndarray:
     if np.issubdtype(lower.dtype, np.integer) and np.issubdtype(upper.dtype, np.integer):
         if lower.ndim == 1:
             lower, upper = lower[None, :], upper[None, :]
-        return lower + (upper - lower) // 2
+        # overflow-safe floor((l+u)/2): (upper - lower) overflows int64
+        # when lower is large-negative and upper large-positive, so
+        # split each operand into halves + parity instead. Equal to
+        # lower + (upper - lower)//2 for all valid (lower <= upper)
+        # boxes, including mixed-sign int64 extremes.
+        return lower // 2 + upper // 2 + (lower % 2 + upper % 2) // 2
     lower, upper = _as2d(lower), _as2d(upper)
     return (lower + upper) / 2.0
 

@@ -193,13 +193,28 @@ def lang_id(ds, concurrency: int = 2):
 def _flat_tokens(txt) -> tuple[np.ndarray, "pa.Array"]:
     """(per-doc token count, flattened tokens) with Python str.split()
     semantics (whitespace runs, no empties) — columnar: Arrow split +
-    flatten + empty filter, never a Python loop over tokens."""
+    flatten + empty filter, never a Python loop over tokens.
+
+    The counts are derived from the SAME split that produces the flat
+    tokens (not a separate regex with a different whitespace class), so
+    ``sum(lens) == len(flat)`` holds for every input — including text
+    containing non-ASCII whitespace (\\x0b, \\xa0, …) where an RE2
+    ``\\s`` count would disagree with ``utf8_split_whitespace``."""
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
-    lens = _count_re(txt, r"[^\s]+")
-    flat = pc.list_flatten(pc.utf8_split_whitespace(txt))
+    splits = pc.utf8_split_whitespace(txt)
+    n = len(txt)
+    raw_lens = pc.fill_null(pc.list_value_length(splits), 0).cast(
+        pa.int64()).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
     if len(flat):
-        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        nonempty = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(nonempty)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+        mask = nonempty.to_numpy(zero_copy_only=False)
+        lens = np.bincount(doc_of[mask], minlength=n).astype(np.int64)
+    else:
+        lens = np.zeros(n, dtype=np.int64)
     return lens, flat
 
 
@@ -660,8 +675,15 @@ def neardup_simhash(ds, max_hamming: int = 3, text_col: str = "text",
         n = len(h)
         out_id = np.tile(b.column(id_col).to_numpy(), nb)
         out_band = np.repeat(np.arange(nb, dtype=np.int64), n)
+        def band_mask(width: np.uint64) -> np.uint64:
+            # width == 64 (max_hamming=0: one full-width band) would
+            # make 1<<64 undefined in numpy — full mask special-cased
+            if int(width) >= 64:
+                return ~np.uint64(0)
+            return (np.uint64(1) << width) - np.uint64(1)
+
         keys = np.concatenate([
-            ((h >> cuts[i]) & ((np.uint64(1) << (cuts[i + 1] - cuts[i])) - np.uint64(1)))
+            ((h >> cuts[i]) & band_mask(cuts[i + 1] - cuts[i]))
             for i in range(nb)
         ]).astype(np.int64)
         coarse = (
@@ -709,7 +731,7 @@ def neardup_simhash(ds, max_hamming: int = 3, text_col: str = "text",
 def jaccard_pairs_exact(ds, tau: float, k: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         df_cap: int | None = None,
-                        prefix_filter: bool = False):
+                        prefix_filter: bool = True):
     """ALL pairs with k-gram Jaccard >= tau via a distributed shingle
     inverted index: explode distinct shingles (each row carrying its
     doc's shingle-set size — no driver-side sizes broadcast),
@@ -737,6 +759,9 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
     (1-tau)-fraction index. This is the 100-TB shape: the quadratic
     pair expansion shrinks ~(1-tau)^2-fold and the shuffled index rows
     drop by tau, at the cost of one extra exchange (the verify join).
+    ON by default — it is the scale-safe path and passes the same
+    exact oracle; ``prefix_filter=False`` keeps the naive full-index
+    algebra (quadratic on a hot shingle) for test cross-checks.
     """
 
     def shingles(b: pa.Table) -> pa.Table:
@@ -832,12 +857,18 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         # length filter (exact): J >= tau needs min(|A|,|B|) >= tau*max
         keep = np.minimum(sa, sb) * (1.0 + 1e-12) >= tau * np.maximum(sa, sb)
         if prefix_filter and df_cap is None:
-            # PPJoin-style remaining-overlap filter (exact): total
-            # overlap <= prefix overlap c + min suffix sizes, where
-            # suffix = |X| - p(X) = ceil(tau*|X|) - 1; J >= tau needs
-            # total overlap >= tau/(1+tau)*(|A|+|B|). Kills the
+            # Remaining-overlap filter (exact): an uncounted common
+            # shingle is absent from at least one indexed prefix, i.e.
+            # it lies in A's or B's unindexed suffix (the ceil(tau*|X|)-1
+            # LARGEST hashes of X). The total hash order forces every
+            # uncounted common above max(prefix_A) or max(prefix_B), so
+            # their count is bounded by the LARGER suffix alone — NOT
+            # the smaller (min was unsound: all uncounted commons can
+            # sit in the larger doc's suffix). total overlap
+            # <= c + max(ceil(tau*|A|), ceil(tau*|B|)) - 1; J >= tau
+            # needs total overlap >= tau/(1+tau)*(|A|+|B|). Kills the
             # one-shared-shingle candidate flood BEFORE any text ships.
-            max_total = c + np.minimum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
+            max_total = c + np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
             keep &= max_total * (1.0 + tau) * (1.0 + 1e-12) >= tau * (sa + sb)
         t = b.filter(pa.array(keep))
         return pa.table({"a": t.column("a"), "b": t.column("b")})

@@ -106,3 +106,39 @@ def test_hopping_window_vs_brute(ray_session, sf_small):
         want[["user_id", "win", "n", "min_value", "max_value"]],
         check_dtype=False)
     np.testing.assert_allclose(got["sum_value"], want["sum_value"], rtol=1e-12)
+
+def test_windows_string_and_narrow_int_keys(ray_session):
+    """Window aggregates must group correctly on STRING keys and keep a
+    narrow-int key dtype in the output (the old np.stack([key, win])
+    path crashed on strings and promoted int32 keys to int64)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    H = E.US_PER_HOUR
+    ts = pa.array(
+        np.array([0, 10, H + 5, 5, H + 1, 2 * H + 7], dtype=np.int64))
+    t = pa.table({
+        "ts": ts,
+        "user_id": pa.array(["u-b", "u-a", "u-a", "u-b", "u-b", "u-a"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+    })
+    got = (E.tumbling_window_agg(rd.from_arrow(t), window_us=H)
+           .to_pandas().sort_values(["user_id", "win"]).reset_index(drop=True))
+    assert got["user_id"].tolist() == ["u-a", "u-a", "u-a", "u-b", "u-b"]
+    assert got["win"].tolist() == [0, 1, 2, 0, 1]
+    assert got["n"].tolist() == [1, 1, 1, 2, 1]
+    np.testing.assert_allclose(got["sum_value"], [2.0, 3.0, 6.0, 5.0, 5.0])
+
+    hop = (E.hopping_window_agg(rd.from_arrow(t), window_us=H, hop_us=H // 2)
+           .to_pandas())
+    # every event lands in exactly 2 hops; totals must be preserved
+    assert hop["n"].sum() == 2 * len(t)
+    assert set(hop["user_id"]) == {"u-a", "u-b"}
+
+    # narrow-int keys keep their dtype through the partial stage
+    t32 = t.set_column(1, "user_id",
+                       pa.array(np.array([7, 3, 3, 7, 7, 3], dtype=np.int32)))
+    got32 = (E.tumbling_window_agg(rd.from_arrow(t32), window_us=H)
+             .to_pandas().sort_values(["user_id", "win"]).reset_index(drop=True))
+    assert got32["n"].sum() == len(t32)
+    assert set(got32["user_id"]) == {3, 7}

@@ -143,3 +143,20 @@ def test_int_box_exact_beyond_2_53(ray_session):
     # float64 cannot represent base+101/base+103 (spacing 2 past 2^53);
     # a cast would pull id 0 in or push id 1 out
     assert sorted(out["id"]) == [1, 2]
+
+
+def test_env_center_int64_mixed_sign_extremes():
+    """(upper - lower) overflows int64 for mixed-sign extremes; the
+    split-halves midpoint must stay exact (floor((l+u)/2)) there."""
+    from geograft import kernels as K
+
+    lo = np.array([[-(2**62) - 3, -5, 0, -(2**63) + 1]], dtype=np.int64)
+    hi = np.array([[2**62 + 5, 2**62, 2**63 - 1, 2**63 - 1]], dtype=np.int64)
+    got = K.env_center(lo, hi)[0]
+    want = [(int(l) + int(u)) // 2 for l, u in zip(lo[0], hi[0])]
+    assert got.tolist() == want
+    # agrees with the old formula where that one was safe
+    lo2 = np.array([[3, -9, 2**53 + 1]], dtype=np.int64)
+    hi2 = np.array([[8, -2, 2**53 + 4]], dtype=np.int64)
+    got2 = K.env_center(lo2, hi2)[0]
+    assert got2.tolist() == (lo2 + (hi2 - lo2) // 2)[0].tolist()

@@ -171,7 +171,8 @@ def test_jaccard_prefix_filter_matches_exact(ray_session, sf_small):
     its smallest common shingle within both prefixes, so the reduced
     index finds the same pair set and verification the same values."""
     for tau in (0.3, 0.5, 0.8):
-        got_exact = T.jaccard_pairs_exact(docs_ds(sf_small), tau=tau).to_pandas()
+        got_exact = T.jaccard_pairs_exact(
+            docs_ds(sf_small), tau=tau, prefix_filter=False).to_pandas()
         got_pfx = T.jaccard_pairs_exact(
             docs_ds(sf_small), tau=tau, prefix_filter=True).to_pandas()
         a = set(zip(got_exact["a"], got_exact["b"]))
@@ -181,6 +182,75 @@ def test_jaccard_prefix_filter_matches_exact(ray_session, sf_small):
         jb = got_pfx.sort_values(["a", "b"])["jaccard"].to_numpy()
         np.testing.assert_allclose(ja, jb)
     assert len(a) > 0
+
+
+def test_jaccard_prefix_overlap_bound_sound(ray_session):
+    """Regression for the remaining-overlap filter bound: uncounted
+    common shingles can ALL sit in the larger doc's suffix, so the
+    bound must use max(suffix_A, suffix_B), not min. A random
+    small-vocab corpus (heavy overlap, k=1 so token sets ARE shingle
+    sets) makes boundary pairs common; the prefix path must report the
+    IDENTICAL pair set as the naive full-index algebra at every tau."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 16), replace=False))
+        for _ in range(120)
+    ]
+    # plant boundary pairs: supersets whose overlap is exactly tau-sized
+    texts[100] = "w0 w30 w31 w32"
+    texts[101] = "w0 w1 w2 w3 w4 w30 w31 w32"   # J=0.5, advice counterexample
+    t = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "text": texts})
+
+    def pairs(df):
+        return set(zip(df["a"], df["b"])) if len(df) else set()
+
+    for tau in (0.3, 0.5, 0.7):
+        naive = T.jaccard_pairs_exact(
+            rd.from_arrow(t), tau=tau, k=1, prefix_filter=False).to_pandas()
+        pfx = T.jaccard_pairs_exact(
+            rd.from_arrow(t), tau=tau, k=1, prefix_filter=True).to_pandas()
+        a, b = pairs(naive), pairs(pfx)
+        assert a == b, f"tau={tau}: prefix dropped {a - b} / added {b - a}"
+        if tau <= 0.5:
+            assert (100, 101) in a and len(a) > 1
+
+
+def test_flat_tokens_nonascii_whitespace(ray_session):
+    """Counts and flattened tokens must come from ONE whitespace
+    definition: text containing \\x0b / \\xa0 (Unicode whitespace not in
+    RE2's ASCII \\s) used to desync them and crash _shingle_hashes."""
+    import ray.data as rd
+
+    txt = pa.array(["a\x0bb c", "x\xa0y", "plain text here", "", None])
+    lens, flat = T._flat_tokens(txt)
+    assert int(lens.sum()) == len(flat)
+    assert lens.tolist() == [3, 2, 3, 0, 0]
+    # downstream ops run without broadcast errors and stay per-doc
+    doc_idx, sh = T._shingle_hashes(txt, k=3)
+    assert set(doc_idx.tolist()) <= {0, 1, 2}
+    t = pa.table({"doc_id": np.arange(5, dtype=np.int64), "text": txt})
+    fp = T.fingerprint(rd.from_arrow(t)).to_pandas()
+    assert len(fp) == 5
+    sh_out = T.simhash(rd.from_arrow(t)).to_pandas()
+    assert len(sh_out) == 5
+
+
+def test_neardup_simhash_zero_hamming(ray_session):
+    """max_hamming=0 means one full-width 64-bit band; the band mask
+    must be ~0 (1<<64 is undefined in numpy), so only identical
+    signatures collide and the pair set is exact duplicates only."""
+    import ray.data as rd
+
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "totally different content words", "alpha beta gamma delt"]
+    t = pa.table({"doc_id": np.arange(4, dtype=np.int64), "text": texts})
+    out = T.neardup_simhash(rd.from_arrow(t), max_hamming=0).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {(0, 1)}
+    assert out["hamming"].tolist() == [0]
 
 
 def test_jaccard_prefix_filter_shrinks_index(ray_session):
