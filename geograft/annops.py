@@ -146,8 +146,16 @@ def cosine_topk_lsh(ds, query_vecs: np.ndarray, k: int,
                              "cos": pa.array([], type=pa.float64())})
         m = _normalize(_emb_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy()
+        # pre-sort by id + stable top-k so exact-cosine ties (duplicate
+        # embeddings) break by smallest id — the same (qid, -cos,
+        # vec_id) contract as the exact path (bare argpartition could
+        # return either duplicate at the k boundary)
+        rid = np.argsort(ids, kind="stable")
+        ids, m = ids[rid], m[rid]
         buckets = lsh_bucket_ids(m, st["planes"])
         out_q, out_i, out_c = [], [], []
+        from .ops import _topk_rows_per_col
+
         for b in np.unique(buckets):
             qis = st["wanted"].get(int(b))
             if not qis:
@@ -155,7 +163,7 @@ def cosine_topk_lsh(ds, query_vecs: np.ndarray, k: int,
             rows = buckets == b
             sims = m[rows] @ st["q"][qis].T
             kk = min(k, int(rows.sum()))
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            part = _topk_rows_per_col(-sims, kk)
             out_q.append(np.repeat(np.asarray(qis, dtype=np.int64), kk))
             out_i.append(ids[rows][part].ravel(order="F"))
             out_c.append(np.take_along_axis(sims, part, axis=0).ravel(order="F"))
@@ -176,9 +184,30 @@ def cosine_topk_lsh(ds, query_vecs: np.ndarray, k: int,
     return pdf.groupby("qid", sort=True).head(k).reset_index(drop=True)
 
 
+# ~rows a sign-LSH band bucket should hold: small enough that the
+# per-bucket O(rows^2) self-merge stays trivial, large enough that
+# near-dups still collide
+TARGET_LSH_BUCKET_ROWS = 64
+
+
+def auto_n_planes(ds, target_rows: int = TARGET_LSH_BUCKET_ROWS) -> int:
+    """n_planes ≈ log2(N / target_bucket_rows): expected bucket
+    population N / 2^n_planes stays ~target_rows, so the per-bucket
+    self-merge is bounded no matter the input size. N comes from plan
+    metadata (parquet footers) — no execution; unknown N falls back to
+    12 planes (4096 buckets/band)."""
+    from .scale import input_rows_estimate
+
+    n = input_rows_estimate(ds)
+    if not n:
+        return 12
+    return int(max(4, min(24, np.ceil(np.log2(max(n / target_rows, 2.0))))))
+
+
 def embedding_neardup(ds, threshold: float = 0.95,
                       id_col: str = "vec_id", emb_col: str = "embedding",
-                      n_planes: int = 12, n_bands: int = 4, seed: int = 11):
+                      n_planes: int | None = None, n_bands: int = 4,
+                      seed: int = 11):
     """Embedding-cosine near-duplicate pairs — banded sign-LSH:
 
     Each vector gets ``n_bands`` independent ``n_planes``-bit sign
@@ -188,10 +217,16 @@ def embedding_neardup(ds, threshold: float = 0.95,
     pair-hash key; then verified with EXACT cosine in one join stage
     against the embeddings table. Sound (exact cosine on every
     reported pair); recall grows with n_bands and is tested against
-    brute force. Bucket population is bounded by 2^n_planes per band —
-    size n_planes to log2(N / target_bucket_rows) at scale.
+    brute force. ``n_planes`` defaults to the log2(N/target) sizing
+    rule (auto_n_planes) so bucket population — and the quadratic
+    per-bucket merge — stays bounded as the input grows.
     """
     from . import textops as T
+    from .scale import shuffle_buckets
+
+    if n_planes is None:
+        n_planes = auto_n_planes(ds)
+    nb_shuffle = np.uint64(shuffle_buckets(ds))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, emb_col))
@@ -206,7 +241,7 @@ def embedding_neardup(ds, threshold: float = 0.95,
         coarse = (
             sigs.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
             + out_band.astype(np.uint64)
-        ) % np.uint64(T.N_COARSE)
+        ) % nb_shuffle
         return pa.table({id_col: out_id, "band": out_band, "sig": sigs,
                          "__bucket": coarse.astype(np.int64)})
 

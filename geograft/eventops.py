@@ -66,7 +66,9 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
     partials, not events.
     """
     from .ops import coarse_bucket_ids
-    from . import textops as T
+    from .scale import shuffle_buckets
+
+    nb = shuffle_buckets(ds)
 
     def partial(b: pa.Table) -> pa.Table:
         ts = _ts_us(b.column(ts_col)).to_numpy()  # epoch micros
@@ -91,7 +93,7 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
                 "min_value": mn,
                 "max_value": mx,
                 "__bucket": coarse_bucket_ids(
-                    _key_hash_for_bucket(out_key), T.N_COARSE),
+                    _key_hash_for_bucket(out_key), nb),
             }
         )
 
@@ -119,7 +121,9 @@ def hopping_window_agg(ds, window_us: int = US_PER_HOUR,
     the exchange carries one row per (key, window) per batch, never
     the replicated events."""
     from .ops import coarse_bucket_ids
-    from . import textops as T
+    from .scale import shuffle_buckets
+
+    nb = shuffle_buckets(ds)
 
     def partial(b: pa.Table) -> pa.Table:
         ts = _ts_us(b.column(ts_col)).to_numpy()
@@ -152,7 +156,7 @@ def hopping_window_agg(ds, window_us: int = US_PER_HOUR,
                 "min_value": mn,
                 "max_value": mx,
                 "__bucket": coarse_bucket_ids(
-                    _key_hash_for_bucket(out_key), T.N_COARSE),
+                    _key_hash_for_bucket(out_key), nb),
             }
         )
 
@@ -179,8 +183,9 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     match) — matching ANSI/DuckDB ``ASOF JOIN`` semantics.
     """
     from .ops import coarse_bucket_ids
-    from . import textops as T
+    from .scale import shuffle_buckets
 
+    nb = shuffle_buckets(left_ds, right_ds)
     left_cols = [c for c in left_ds.schema().names]
     # a right column sharing a left column's name would be silently
     # shadowed by pd.merge_asof's suffix renaming — refuse up front
@@ -198,7 +203,7 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
                 "__key": pa.array(k.astype(np.int64)),
                 "__ts": _ts_us(b.column(ts)),
                 "__side": pa.array(np.full(len(b), side, dtype=np.int8)),
-                "__bucket": pa.array(coarse_bucket_ids(k, T.N_COARSE)),
+                "__bucket": pa.array(coarse_bucket_ids(k, nb)),
             }
             for c in keep:
                 out[c] = b.column(c)
@@ -287,7 +292,9 @@ def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,
     Output: key, session_start (epoch us), session_end, n_events.
     """
     from .ops import coarse_bucket_ids
-    from . import textops as T
+    from .scale import shuffle_buckets
+
+    nb = shuffle_buckets(ds)
 
     def keyed(b: pa.Table) -> pa.Table:
         key = b.column(key_col).to_numpy()
@@ -296,7 +303,7 @@ def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,
             {
                 key_col: key,
                 "ts_us": ts,
-                "__bucket": pa.array(coarse_bucket_ids(key, T.N_COARSE)),
+                "__bucket": pa.array(coarse_bucket_ids(key, nb)),
             }
         )
 

@@ -45,11 +45,17 @@ def coarse_bucket_ids(keys: np.ndarray, n_buckets: int = N_SHUFFLE) -> np.ndarra
 
 
 def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
-                         n_buckets: int = N_SHUFFLE):
+                         n_buckets: int | None = None):
     """ONE all-to-all exchange on ``hash(key) % n_buckets``; ``fn`` is
     called once per bucket with every row of every key in that bucket
     co-located (same guarantee a per-key groupby gives, at partition
-    granularity). fn must sub-group by ``key_col`` internally."""
+    granularity). fn must sub-group by ``key_col`` internally.
+    ``n_buckets`` defaults to the data-size-driven count
+    (scale.shuffle_buckets) so one bucket's rows always fit a task."""
+    if n_buckets is None:
+        from .scale import shuffle_buckets
+
+        n_buckets = shuffle_buckets(ds)
 
     def add(b: pa.Table) -> pa.Table:
         cb = coarse_bucket_ids(b.column(key_col).to_numpy(), n_buckets)

@@ -515,15 +515,23 @@ def checkpointed_spatial_join(
     import numpy as np
     import pyarrow as pa
 
-    from .ops import (N_SHUFFLE, PTree, _cell_level, _env_arrays,
+    from .ops import (PTree, _cell_level, _env_arrays,
                       coarse_bucket_ids, replicate_to_cells)
+    from .scale import shuffle_buckets
 
     os.makedirs(out_dir, exist_ok=True)
     man_path = os.path.join(out_dir, MANIFEST)
     done: dict[str, dict] = {}
+    nb: int | None = None
     if resume and os.path.exists(man_path):
         with open(man_path) as f:
-            done = json.load(f)["buckets"]
+            man0 = json.load(f)
+        done = man0["buckets"]
+        # bucket ids only mean anything under the count that produced
+        # them — resume MUST reuse the manifest's count
+        nb = int(man0.get("n_buckets") or 0) or None
+    if nb is None:
+        nb = shuffle_buckets(left, right)
     done_ids = np.fromiter((int(k) for k in done), dtype=np.int64,
                            count=len(done))
 
@@ -531,7 +539,7 @@ def checkpointed_spatial_join(
         def f(batch: pa.Table) -> pa.Table:
             t = batch.select([id_col, "minx", "miny", "maxx", "maxy"])
             t = replicate_to_cells(t, level, bounds)
-            cg = coarse_bucket_ids(t.column("cell_id").to_numpy())
+            cg = coarse_bucket_ids(t.column("cell_id").to_numpy(), nb)
             keep = ~np.isin(cg, done_ids)
             t = t.append_column("side", pa.array(np.full(len(t), side_tag, dtype=np.int8)))
             t = t.append_column("__cg", pa.array(cg))
@@ -598,7 +606,7 @@ def checkpointed_spatial_join(
         }
     man = {
         "level": level, "bounds": bounds.to_list(),
-        "n_buckets": N_SHUFFLE,
+        "n_buckets": nb,
         "total_pairs": sum(b["rows"] for b in buckets.values()),
         "built_buckets": len(stats), "resumed_buckets": len(done),
         "buckets": buckets,

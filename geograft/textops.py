@@ -41,23 +41,29 @@ def _stable_hash(texts: pa.Array | pa.ChunkedArray, seed: int = 42) -> np.ndarra
 # exact dedup
 # --------------------------------------------------------------------------
 
-# Coarse hash-partition count: the groupby key space is folded into this
-# many partitions so a shuffle produces O(N_COARSE) vectorized work units
-# (pandas C kernels per partition) instead of one Python call per
-# distinct key. Scale with cluster size, not key cardinality.
+# Legacy fixed coarse partition count — still the DEFAULT for the
+# tiny fixed-size pair-hash spaces, but every data-proportional
+# exchange now sizes itself via scale.shuffle_buckets (input bytes /
+# ~512 MB, floored at 2x cluster cores) so a map_groups bucket stays
+# bounded no matter the input size.
 N_COARSE = 32
 
 
-def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
+def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int | None = None):
     """Exact duplicate removal: canonical (min id) per distinct text.
 
-    Shape: hash-partition on a stable content hash folded into N_COARSE
-    buckets (equal texts always co-locate), then one vectorized pandas
-    groupby(text).min per partition — EXACT text equality, so hash
-    collisions cannot corrupt the result.
+    Shape: hash-partition on a stable content hash folded into a
+    data-size-driven number of buckets (equal texts always co-locate),
+    then one vectorized pandas groupby(text).min per partition — EXACT
+    text equality, so hash collisions cannot corrupt the result.
     """
+    from .scale import shuffle_buckets
+
+    nb = np.uint64(n_buckets or shuffle_buckets(ds))
+
     def add_hash(b: pa.Table) -> pa.Table:
-        h = _stable_hash(b.column(text_col)) % np.uint64(N_COARSE)
+        h = _stable_hash(b.column(text_col)) % nb
         return b.select([id_col, text_col]).append_column(
             "__bucket", pa.array(h.astype(np.int64))
         )
@@ -350,7 +356,7 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray,
 
 
 def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
-                  attach: dict[str, str]):
+                  attach: dict[str, str], n_buckets: int | None = None):
     """Distributed hash join: add columns from a lookup table to a row
     stream by co-locating both sides on coarse hash(key) buckets — the
     scale-safe replacement for a driver-broadcast dict (O(#keys) driver
@@ -361,6 +367,9 @@ def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
     the union's null padding can never promote exact integer columns
     (same guard as eventops.asof_join).
     """
+    from .scale import shuffle_buckets
+
+    nb = np.uint64(n_buckets or shuffle_buckets(ds, lookup_ds))
     row_schema = ds.schema()
     row_types = dict(zip(row_schema.names, row_schema.types))
     lk_schema = lookup_ds.schema()
@@ -377,7 +386,7 @@ def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
             "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
             "__bucket": pa.array(
                 (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % np.uint64(N_COARSE)).astype(np.int64)),
+                 % nb).astype(np.int64)),
         }
         for c in row_cols:
             out[c] = b.column(c)
@@ -392,7 +401,7 @@ def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
             "__side": pa.array(np.ones(len(b), dtype=np.int8)),
             "__bucket": pa.array(
                 (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % np.uint64(N_COARSE)).astype(np.int64)),
+                 % nb).astype(np.int64)),
         }
         for c in row_cols:
             out[c] = pa.nulls(len(b), type=row_types[c])
@@ -428,7 +437,7 @@ def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
 
 
 def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
-                       out_a: str, out_b: str):
+                       out_a: str, out_b: str, n_buckets: int | None = None):
     """Attach one lookup column to BOTH endpoints of an (a, b) pair
     stream with a SINGLE pass over the lookup table: each pair is keyed
     twice (once per endpoint) into the same coarse hash(key) shuffle as
@@ -436,6 +445,10 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
     back together on a PAIRS-sized pair-hash shuffle. The big table is
     exchanged once — two attach_lookup passes would shuffle it twice.
     """
+    from .scale import shuffle_buckets
+
+    nb = n_buckets or shuffle_buckets(pairs_ds, lookup_ds)
+    nbu = np.uint64(nb)
     lk_schema = lookup_ds.schema()
     lk_type = dict(zip(lk_schema.names, lk_schema.types))[lookup_col]
 
@@ -459,7 +472,7 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
             "__v": pa.nulls(2 * len(a), type=lk_type),
             "__bucket": pa.array(
                 (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % np.uint64(N_COARSE)).astype(np.int64)),
+                 % nbu).astype(np.int64)),
         }
         return pa.table(out)
 
@@ -474,7 +487,7 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
             "__v": b.column(lookup_col),
             "__bucket": pa.array(
                 (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % np.uint64(N_COARSE)).astype(np.int64)),
+                 % nbu).astype(np.int64)),
         })
 
     cols = ["__k", "a", "b", "__slot", "__v", "__bucket"]
@@ -516,7 +529,7 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
             "a": a, "b": b,
             "__slot": pa.array(merged["__slot"].to_numpy(dtype=np.int8)),
             "__v": pa.array(merged["__v"], type=lk_type, from_pandas=True),
-            "__pb": pa.array(_pair_bucket(a, b)),
+            "__pb": pa.array(_pair_bucket(a, b, nb)),
         })
 
     halves = both.groupby("__bucket").map_groups(annotate, batch_format="pyarrow")
@@ -599,13 +612,17 @@ def neardup_minhash(ds, tau: float = 0.8, text_col: str = "text",
     dedup barrier). Reported pairs are SOUND (verified exactly); recall
     follows the LSH banding curve (tested against brute force).
     """
+    from .scale import shuffle_buckets
+
+    nb = np.uint64(shuffle_buckets(ds))
+
     def sigs(b: pa.Table) -> pa.Table:
         s = minhash_signatures(b, text_col, id_col, k)
         coarse = (
             s.column("band_hash").to_numpy().astype(np.uint64)
             * np.uint64(0x9E3779B97F4A7C15)
             + s.column("band").to_numpy().astype(np.uint64)
-        ) % np.uint64(N_COARSE)
+        ) % nb
         return s.append_column("__bucket", pa.array(coarse.astype(np.int64)))
 
     sig_ds = ds.map_batches(sigs, batch_format="pyarrow", batch_size=None)
@@ -666,15 +683,18 @@ def neardup_simhash(ds, max_hamming: int = 3, text_col: str = "text",
     the exact XOR popcount filters. Completes the dedup family: exact
     (hash), MinHash-LSH (probabilistic Jaccard), n-gram Jaccard
     (exact), SimHash (exact hamming), embedding cosine."""
-    nb = max_hamming + 1
-    cuts = np.linspace(0, 64, nb + 1).astype(np.uint64)
+    from .scale import shuffle_buckets
+
+    nband = max_hamming + 1
+    cuts = np.linspace(0, 64, nband + 1).astype(np.uint64)
+    n_buckets = np.uint64(shuffle_buckets(ds))
     sig = simhash(ds, text_col, id_col)
 
     def bands(b: pa.Table) -> pa.Table:
         h = b.column("simhash").to_numpy().astype(np.uint64)
         n = len(h)
-        out_id = np.tile(b.column(id_col).to_numpy(), nb)
-        out_band = np.repeat(np.arange(nb, dtype=np.int64), n)
+        out_id = np.tile(b.column(id_col).to_numpy(), nband)
+        out_band = np.repeat(np.arange(nband, dtype=np.int64), n)
         def band_mask(width: np.uint64) -> np.uint64:
             # width == 64 (max_hamming=0: one full-width band) would
             # make 1<<64 undefined in numpy — full mask special-cased
@@ -684,12 +704,12 @@ def neardup_simhash(ds, max_hamming: int = 3, text_col: str = "text",
 
         keys = np.concatenate([
             ((h >> cuts[i]) & band_mask(cuts[i + 1] - cuts[i]))
-            for i in range(nb)
+            for i in range(nband)
         ]).astype(np.int64)
         coarse = (
             keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
             + out_band.astype(np.uint64)
-        ) % np.uint64(N_COARSE)
+        ) % n_buckets
         return pa.table({id_col: out_id, "band": out_band, "key": keys,
                          "__bucket": coarse.astype(np.int64)})
 
@@ -764,6 +784,11 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
     algebra (quadratic on a hot shingle) for test cross-checks.
     """
 
+    from .scale import shuffle_buckets
+
+    nb = shuffle_buckets(ds)
+    nbu = np.uint64(nb)
+
     def shingles(b: pa.Table) -> pa.Table:
         doc_idx, sh = _shingle_hashes(b.column(text_col), k)
         ids = b.column(id_col).take(pa.array(doc_idx))
@@ -786,7 +811,7 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
                 id_col: ids,
                 "sh": sh.astype(np.int64),
                 "sz": sizes[doc_idx].astype(np.int64),
-                "__bucket": (sh % np.uint64(N_COARSE)).astype(np.int64),
+                "__bucket": (sh % nbu).astype(np.int64),
             }
         )
 
@@ -810,7 +835,7 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         )
         out = out.rename(columns={f"{id_col}_a": "a", f"{id_col}_b": "b"})
         out["__pb"] = _pair_bucket(out["a"].to_numpy(dtype=np.int64),
-                                   out["b"].to_numpy(dtype=np.int64))
+                                   out["b"].to_numpy(dtype=np.int64), nb)
         return out
 
     partial = sh_ds.groupby("__bucket").map_groups(bucket_pairs, batch_format="pandas")
@@ -893,17 +918,28 @@ def checkpointed_dedup_exact(ds, out_dir: str, text_col: str = "text",
 
     import pyarrow.parquet as pq
 
+    from .scale import shuffle_buckets
+
     os.makedirs(out_dir, exist_ok=True)
     man_path = os.path.join(out_dir, "manifest.json")
     done: dict[str, dict] = {}
+    nb: int | None = None
     if resume and os.path.exists(man_path):
         with open(man_path) as f:
-            done = json.load(f)["buckets"]
+            man0 = json.load(f)
+        done = man0["buckets"]
+        # bucket ids are only meaningful under the count that produced
+        # them — a resumed run MUST reuse the manifest's count, never
+        # re-derive it from (possibly re-estimated) input bytes
+        nb = int(man0.get("n_buckets") or 0) or None
+    if nb is None:
+        nb = shuffle_buckets(ds)
     done_ids = np.fromiter((int(k) for k in done), dtype=np.int64,
                            count=len(done))
+    nbu = np.uint64(nb)
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = (_stable_hash(b.column(text_col)) % np.uint64(N_COARSE)).astype(np.int64)
+        h = (_stable_hash(b.column(text_col)) % nbu).astype(np.int64)
         keep = ~np.isin(h, done_ids)
         return (
             b.select([id_col, text_col])
@@ -940,7 +976,7 @@ def checkpointed_dedup_exact(ds, out_dir: str, text_col: str = "text",
             "wall_ms": float(r.wall_ms),
         }
     man = {
-        "n_buckets": N_COARSE,
+        "n_buckets": nb,
         "total_survivors": sum(b["rows"] for b in buckets.values()),
         "built_buckets": len(stats), "resumed_buckets": len(done),
         "buckets": buckets,
