@@ -34,6 +34,12 @@ KNN3_Q = (100.0, 50.0, 48.0, 10)            # 3-d kNN (x, y, z, k)
 WD3_Q = (100.0, 50.0, 48.0, 2000.0)         # 3-d within-distance (x, y, z, r2)
 INT_OFF = 9007199254740992                  # 2^53: int coords beyond float53 exactness
 INT_Q = (INT_OFF + 101, 10, INT_OFF + 999, 80)  # int envelope (odd bounds!)
+# 4-d queries (events axes value/user_id/event_id/epoch-hours; the
+# reference bulk-load tests cover dims 2/3/4, bulk_load_sequential.rs:113-151)
+TS4_Q = (473352.0, 473568.0)                # epoch-hours window (2024-01-01..10)
+BOX4_LO = (5.0, 10.0, 0.0, TS4_Q[0])
+BOX4_HI = (200.0, 80.0, 5000.0, TS4_Q[1])
+KNN4_Q = (100.0, 50.0, 2500.0, 473400.0, 10)  # 4-d kNN (…, k)
 
 
 def entry() -> Any:
@@ -92,8 +98,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ops.locate_all_at_point(FX.rects_ds(sf), *AT_POINT_Q).select_columns(["id"])
         )[["id"]]
 
+    def locate_at_point_first(sf):
+        # locate_at_point single-match variant (rtree.rs:753-801):
+        # deterministic pick = smallest id among containing elements
+        return ops.locate_at_point(FX.rects_ds(sf), *AT_POINT_Q)[["id"]]
+
     def locate_within_distance(sf):
         return ops.locate_within_distance(_points(sf), *WD_Q).select_columns(["id", "x", "y"])
+
+    def _events4(sf):
+        # events as 4-d points: (value, user_id, event_id, epoch-hours).
+        # ts µs -> hours by float64 division; epoch µs < 2^53, so the
+        # int64 -> float64 conversion and the division are both exact
+        # IEEE ops that DuckDB performs identically
+        import pyarrow as pa
+
+        ds = read_parquet_sized(
+            f"{sf}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+
+        def mk(b: pa.Table) -> pa.Table:
+            ts_h = b.column("ts").cast(pa.int64()).to_numpy() / 3600000000.0
+            return pa.table({
+                "event_id": b.column("event_id"), "value": b.column("value"),
+                "user_id": b.column("user_id"), "ts_h": pa.array(ts_h),
+            })
+
+        return ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+
+    def locate_in_box_4d(sf):
+        # d=4 envelope query (reference bulk-load tests cover dims 2/3/4)
+        return ops.locate_in_box_nd(
+            _events4(sf), ["value", "user_id", "event_id", "ts_h"],
+            list(BOX4_LO), list(BOX4_HI),
+        ).select_columns(["event_id"])
+
+    def knn_4d(sf):
+        import pyarrow as pa
+
+        q = pa.table({"qid": [0], "value": [KNN4_Q[0]], "user_id": [KNN4_Q[1]],
+                      "event_id": [KNN4_Q[2]], "ts_h": [KNN4_Q[3]]})
+        return ops.knn_nd(
+            _events4(sf), q, k=KNN4_Q[4],
+            axes=["value", "user_id", "event_id", "ts_h"], id_col="event_id",
+        )
 
     def locate_in_box_3d(sf):
         # 3-d envelope query (value, user_id, event_id) — the reference is
@@ -571,7 +620,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locate_in_envelope_rects": locate_in_envelope_rects,
         "locate_in_envelope_intersecting": locate_in_envelope_intersecting,
         "locate_all_at_point": locate_all_at_point,
+        "locate_at_point_first": locate_at_point_first,
         "locate_within_distance": locate_within_distance,
+        "locate_in_box_4d": locate_in_box_4d,
+        "knn_4d": knn_4d,
         "locate_in_box_3d": locate_in_box_3d,
         "locate_in_box_int": locate_in_box_int,
         "contains": contains,
@@ -659,9 +711,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id FROM ({R}) WHERE minx <= {ax} AND maxx >= {ax} "
             f"AND miny <= {ay} AND maxy >= {ay}"
         ),
+        "locate_at_point_first": (
+            f"WITH m AS (SELECT id FROM ({R}) WHERE minx <= {ax} AND maxx >= {ax} "
+            f"AND miny <= {ay} AND maxy >= {ay}) "
+            f"SELECT id FROM m WHERE id = (SELECT min(id) FROM m)"
+        ),
         "locate_within_distance": (
             f"SELECT id, x, y FROM ({P}) "
             f"WHERE (x-{wx})*(x-{wx}) + (y-{wy})*(y-{wy}) <= {wr2}"
+        ),
+        "locate_in_box_4d": (
+            f"SELECT event_id FROM events "
+            f"WHERE value BETWEEN {BOX4_LO[0]} AND {BOX4_HI[0]} "
+            f"AND user_id BETWEEN {BOX4_LO[1]} AND {BOX4_HI[1]} "
+            f"AND event_id BETWEEN {BOX4_LO[2]} AND {BOX4_HI[2]} "
+            f"AND epoch_us(ts)/3600000000.0 BETWEEN {BOX4_LO[3]} AND {BOX4_HI[3]}"
+        ),
+        "knn_4d": (
+            f"SELECT 0 AS qid, event_id, "
+            f"(value-{KNN4_Q[0]})*(value-{KNN4_Q[0]}) + "
+            f"(user_id-{KNN4_Q[1]})*(user_id-{KNN4_Q[1]}) + "
+            f"(event_id-{KNN4_Q[2]})*(event_id-{KNN4_Q[2]}) + "
+            f"(epoch_us(ts)/3600000000.0-{KNN4_Q[3]})*(epoch_us(ts)/3600000000.0-{KNN4_Q[3]}) AS dist2 "
+            f"FROM events ORDER BY dist2, event_id LIMIT {KNN4_Q[4]}"
         ),
         "contains": f"SELECT id, x, y FROM ({P}) WHERE x = {cx} AND y = {cy}",
         "locate_in_box_3d": (

@@ -372,6 +372,37 @@ def locate_all_at_point(ds, x, y) -> "ray.data.Dataset":
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def locate_at_point(ds, x, y, id_col: str = "id"):
+    """locate_at_point (rtree.rs:753-801): ONE element containing the
+    point — the reference returns whichever match the pruned descent
+    finds first; distributed set-parity needs a deterministic rule, so
+    the engine picks the smallest id among matches (the same rule
+    remove_at_point uses). Returns a pandas DataFrame with 0 or 1 rows.
+
+    Two passes over the (already tiny) match set, no shuffle: a
+    per-block partial min of matching ids merged on the driver, then a
+    broadcast-free equality filter."""
+    import pandas as pd
+    import ray
+
+    matches = locate_all_at_point(ds, x, y)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        return pa.table({id_col: ids.min(keepdims=True) if len(ids) else ids[:0]})
+
+    cand = matches.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
+    first = min(int(t.column(id_col)[0].as_py()) for t in blocks)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch.column(id_col).to_numpy() == first))
+
+    return matches.map_batches(f, batch_format="pyarrow", batch_size=None).to_pandas()
+
+
 def locate_within_distance(ds, x, y, r2) -> "ray.data.Dataset":
     """rtree.rs:1053-1060 — distance_2(geometry, q) <= r2, with the per-kind
     exact distance (point: euclidean^2; rect: clamped envelope distance,

@@ -65,6 +65,65 @@ def test_locate_at_point_rects(ray_session, con, sf_small):
     assert len(want) >= 1
 
 
+def test_locate_at_point_first_match(ray_session, con, sf_small):
+    # rtree.rs:753-801 single-match variant: smallest id among matches;
+    # empty match set -> empty frame
+    row = con.sql(f"SELECT minx, miny FROM ({FX.RECTS_SQL}) LIMIT 1").fetchall()[0]
+    px, py = row[0] + 0.5, row[1] + 0.5
+    allm = ids(ops.locate_all_at_point(FX.rects_ds(sf_small), px, py))
+    assert len(allm) >= 1
+    got = ops.locate_at_point(FX.rects_ds(sf_small), px, py)
+    assert len(got) == 1 and int(got["id"].iloc[0]) == int(allm.min())
+    miss = ops.locate_at_point(FX.rects_ds(sf_small), -1e12, -1e12)
+    assert len(miss) == 0
+
+
+def test_locate_in_box_4d_and_knn_4d_vs_brute(ray_session, sf_small):
+    # d=4 end to end over the events axes (reference dims-2/3/4 bulk
+    # load tests, bulk_load_sequential.rs:113-151)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from geograft.io import read_parquet_sized
+
+    ev = pq.read_table(f"{sf_small}/events.parquet",
+                       columns=["event_id", "ts", "user_id", "value"])
+    ts_h = ev.column("ts").cast(pa.int64()).to_numpy() / 3600000000.0
+    pts = np.stack([ev.column("value").to_numpy(),
+                    ev.column("user_id").to_numpy().astype(np.float64),
+                    ev.column("event_id").to_numpy().astype(np.float64),
+                    ts_h], axis=1)
+    eid = ev.column("event_id").to_numpy()
+
+    ds = read_parquet_sized(f"{sf_small}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        th = b.column("ts").cast(pa.int64()).to_numpy() / 3600000000.0
+        return pa.table({"event_id": b.column("event_id"),
+                         "value": b.column("value"),
+                         "user_id": b.column("user_id"), "ts_h": pa.array(th)})
+
+    ds4 = ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+    lo = np.array([5.0, 10.0, 0.0, ts_h.min()])
+    hi = np.array([200.0, 80.0, 5000.0, ts_h.min() + 48.0])
+    got = np.sort(ops.locate_in_box_nd(
+        ds4, ["value", "user_id", "event_id", "ts_h"], lo.tolist(), hi.tolist()
+    ).to_pandas()["event_id"].to_numpy())
+    want = np.sort(eid[((pts >= lo) & (pts <= hi)).all(axis=1)])
+    np.testing.assert_array_equal(got, want)
+    assert len(want) > 0
+
+    q = np.array([100.0, 50.0, 2500.0, ts_h.min() + 24.0])
+    qt = pa.table({"qid": [0], "value": [q[0]], "user_id": [q[1]],
+                   "event_id": [q[2]], "ts_h": [q[3]]})
+    got_knn = ops.knn_nd(ds4, qt, k=10,
+                         axes=["value", "user_id", "event_id", "ts_h"],
+                         id_col="event_id")
+    d2 = ((pts - q) ** 2).sum(axis=1)
+    order = np.lexsort((eid, d2))[:10]
+    np.testing.assert_array_equal(got_knn["event_id"].to_numpy(), eid[order])
+
+
 def test_locate_within_distance_points(ray_session, con, sf_small):
     qx, qy, r2 = 50.0, 8.0, 400.0
     got = ids(ops.locate_within_distance(FX.points_ds(sf_small), qx, qy, r2))
