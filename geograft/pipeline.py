@@ -193,8 +193,8 @@ def directory_from_manifest(man: dict) -> pd.DataFrame:
     instead of re-scanning the data. Valid when no hot cells were split
     (the ids are then base-level owner cells)."""
     rows = [
-        {"cell_id": int(cid), "n": p["rows"], "minx": p["minx"], "miny": p["miny"],
-         "maxx": p["maxx"], "maxy": p["maxy"]}
+        {"cell_id": int(cid), "n": live_rows(p), "minx": p["minx"],
+         "miny": p["miny"], "maxx": p["maxx"], "maxy": p["maxy"]}
         for cid, p in man["partitions"].items()
     ]
     return pd.DataFrame(rows)
@@ -212,6 +212,7 @@ def sanity_check_index(path: str, expected_rows: int | None = None) -> None:
     of row envelopes."""
     man = load_manifest(path)
     total = 0
+    deleted = 0
     for cid, p in man["partitions"].items():
         t = pq.read_table(os.path.join(path, p["file"]))
         assert len(t) == p["rows"], f"cell {cid}: manifest rows mismatch"
@@ -224,9 +225,20 @@ def sanity_check_index(path: str, expected_rows: int | None = None) -> None:
         assert hi_x.max() == p["maxx"] and hi_y.max() == p["maxy"]
         cells = t.column("cell_id").to_numpy()
         assert (cells == int(cid)).all(), f"cell {cid}: foreign rows"
+        # pending tombstones: unique ids, every one present in the file
+        nd = p.get("deleted", 0)
+        if nd:
+            dl = pq.read_table(
+                os.path.join(path, _del_name(int(cid)))).column("id").to_numpy()
+            assert len(dl) == nd, f"cell {cid}: del count mismatch"
+            assert len(np.unique(dl)) == nd, f"cell {cid}: duplicate tombstones"
+            assert np.isin(dl, t.column("id").to_numpy()).all(), \
+                f"cell {cid}: tombstone for absent id"
+            deleted += nd
     assert total == man["total_rows"]
+    assert deleted == man.get("deleted_rows", 0)
     if expected_rows is not None:
-        assert total == expected_rows
+        assert total - deleted == expected_rows
 
 
 def query_index_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
@@ -238,7 +250,7 @@ def query_index_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
     man = load_manifest(path)
     files = []
     for p in man["partitions"].values():
-        if p["rows"] == 0:
+        if live_rows(p) == 0:
             continue
         if p["minx"] <= qmaxx and p["maxx"] >= qminx and \
            p["miny"] <= qmaxy and p["maxy"] >= qminy:
@@ -247,7 +259,7 @@ def query_index_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
 
     if not files:
         return None
-    ds = rd.read_parquet(files)
+    ds = filter_tombstones(rd.read_parquet(files), load_tombstones(path, man))
     if intersecting:
         return ops.locate_in_envelope_intersecting(ds, qminx, qminy, qmaxx, qmaxy)
     return ops.locate_in_envelope(ds, qminx, qminy, qmaxx, qmaxy)
@@ -270,7 +282,7 @@ def query_index_with_selection_function(path: str, keep_rows,
     man = load_manifest(path)
     files, los, ups = [], [], []
     for p in man["partitions"].values():
-        if p["rows"] == 0:
+        if live_rows(p) == 0:
             continue
         files.append(os.path.join(path, p["file"]))
         los.append([p["minx"], p["miny"]])
@@ -284,7 +296,7 @@ def query_index_with_selection_function(path: str, keep_rows,
         return None, 0, total
     import ray.data as rd
 
-    ds = rd.read_parquet(files)
+    ds = filter_tombstones(rd.read_parquet(files), load_tombstones(path, man))
     return ops.locate_with_selection_function(ds, keep_rows), len(files), total
 
 
@@ -618,6 +630,310 @@ def checkpointed_spatial_join(
     return man
 
 
+# --------------------------------------------------------------------------
+# Index-integrated removal: per-cell tombstone lists + compaction.
+#
+# The reference mutates the tree in place (removal.rs:67-243) and tests
+# remove-then-insert round-trips (removal.rs:257-302, rtree.rs:1140-1150).
+# The distributed equivalent: removal writes a small `del-{cell}.parquet`
+# id list next to the partition file (data files untouched — cheap,
+# idempotent, resumable), every query path anti-filters those ids at
+# read time, and compaction / delta-ingest rewrites the touched
+# partitions without the dead rows. Manifest partition envelopes stay
+# as-built until compaction — conservative but sound for pruning, the
+# same way the reference tolerates under-full nodes after removal
+# (removal.rs:137-139).
+# --------------------------------------------------------------------------
+
+def _del_name(cid: int) -> str:
+    return f"del-{cid}.parquet"
+
+
+def live_rows(p: dict) -> int:
+    """Rows of a manifest partition net of pending tombstones."""
+    return p["rows"] - p.get("deleted", 0)
+
+
+def load_tombstones(path: str, man: dict | None = None) -> dict[int, np.ndarray]:
+    """cell_id -> sorted deleted ids for every partition with pending
+    tombstones (empty dict when the index is fully compacted)."""
+    man = man if man is not None else load_manifest(path)
+    out: dict[int, np.ndarray] = {}
+    for cid, p in man["partitions"].items():
+        if p.get("deleted", 0) > 0:
+            t = pq.read_table(os.path.join(path, _del_name(int(cid))))
+            out[int(cid)] = np.sort(t.column("id").to_numpy())
+    return out
+
+
+def filter_tombstones(ds, dels: dict[int, np.ndarray], id_col: str = "id"):
+    """Anti-filter deleted ids out of partition rows (rows carry their
+    cell_id column). The tombstone map is broadcast ONCE via ray.put and
+    read zero-copy in every task — never re-shipped per batch."""
+    if not dels:
+        return ds
+    import ray
+
+    ref = ray.put(dels)
+
+    def f(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        cells = b.column("cell_id").to_numpy()
+        ids = b.column(id_col).to_numpy()
+        keep = np.ones(len(b), dtype=bool)
+        for cid in np.unique(cells):
+            dl = d.get(int(cid))
+            if dl is not None:
+                m = cells == cid
+                keep[m] &= ~np.isin(ids[m], dl)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def read_index(path: str, columns: list[str] | None = None):
+    """All LIVE rows of a built index as a Dataset (tombstones applied)."""
+    import ray.data as rd
+
+    man = load_manifest(path)
+    files = [os.path.join(path, p["file"]) for p in man["partitions"].values()
+             if live_rows(p) > 0]
+    if not files:
+        return None
+    ds = rd.read_parquet(files, columns=columns)
+    return filter_tombstones(ds, load_tombstones(path, man))
+
+
+def _write_cell_dels(path: str, cid: int, new_ids: np.ndarray,
+                     id_col: str = "id") -> int:
+    """Merge ids into del-{cid}.parquet (atomic publish); returns the
+    TOTAL deleted count for the cell."""
+    f = os.path.join(path, _del_name(cid))
+    if os.path.exists(f):
+        old = pq.read_table(f).column(id_col).to_numpy()
+        merged = np.union1d(old, new_ids)
+    else:
+        merged = np.unique(new_ids)
+    tmp = f + ".tmp"
+    pq.write_table(pa.table({id_col: merged}), tmp)
+    os.replace(tmp, f)
+    return len(merged)
+
+
+def tombstone_index(path: str, sel_rows, prune_partition=None,
+                    limit: int | None = None, id_col: str = "id") -> dict:
+    """Remove elements from a BUILT index without rewriting data files.
+
+    ``sel_rows(batch) -> bool mask`` picks victims (should_unpack_leaf);
+    ``prune_partition(lo, up) -> bool mask`` prunes partitions against
+    the manifest so pruned files are never read (should_unpack_parent).
+    ``limit=None`` drains ALL matches (drain_* semantics,
+    rtree.rs:399-410); ``limit=n`` removes the n smallest matching ids
+    (the deterministic pick rule shared with ops.remove_*).
+
+    Returns the updated manifest. Queries served through this module
+    and geograft.state see the removal immediately; compact_index()
+    or ingest_delta() later fold the tombstones into the data files.
+    """
+    import ray
+    import ray.data as rd
+
+    man = load_manifest(path)
+    dels = load_tombstones(path, man)
+    files, plo, pup = [], [], []
+    for cid, p in man["partitions"].items():
+        if live_rows(p) > 0:
+            files.append(os.path.join(path, p["file"]))
+            plo.append([p["minx"], p["miny"]])
+            pup.append([p["maxx"], p["maxy"]])
+    if prune_partition is not None and files:
+        mask = np.asarray(prune_partition(np.asarray(plo), np.asarray(pup)),
+                          dtype=bool)
+        files = [f for f, m in zip(files, mask) if m]
+    if not files:
+        return man
+    ds = filter_tombstones(rd.read_parquet(files), dels, id_col)
+
+    def matches(b: pa.Table) -> pa.Table:
+        m = np.asarray(sel_rows(b), dtype=bool)
+        return pa.table({"cell_id": b.column("cell_id").to_numpy()[m],
+                         id_col: b.column(id_col).to_numpy()[m]})
+
+    cand = ds.map_batches(matches, batch_format="pyarrow", batch_size=None)
+
+    if limit is not None:
+        # tiny global top-n of matching ids: per-block partial + driver merge
+        def partial(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy()
+            cells = b.column("cell_id").to_numpy()
+            if len(ids) > limit:
+                sel = np.argpartition(ids, limit - 1)[:limit]
+                ids, cells = ids[sel], cells[sel]
+            return pa.table({"cell_id": cells, id_col: ids})
+
+        blocks = [t for t in ray.get(
+            cand.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs())
+            if t.num_rows > 0]
+        if not blocks:
+            return man
+        t = pa.concat_tables(blocks)
+        ids = t.column(id_col).to_numpy()
+        cells = t.column("cell_id").to_numpy()
+        sel = np.argsort(ids, kind="stable")[:limit]
+        for cid_v, grp in pd.DataFrame(
+                {"cell_id": cells[sel], id_col: ids[sel]}).groupby("cell_id"):
+            total = _write_cell_dels(path, int(cid_v),
+                                     grp[id_col].to_numpy(), id_col)
+            man["partitions"][str(int(cid_v))]["deleted"] = total
+    else:
+        # drain-all: distributed del writes, one task per coarse bucket
+        from . import ops as _ops
+
+        def del_bucket(group: pa.Table) -> pd.DataFrame:
+            if len(group) == 0 or "cell_id" not in group.column_names:
+                return pd.DataFrame({"cell_id": pd.Series([], dtype=np.int64),
+                                     "deleted": pd.Series([], dtype=np.int64)})
+            if "__cg" in group.column_names:
+                group = group.drop_columns(["__cg"])
+            cells = group.column("cell_id").to_numpy()
+            ids = group.column(id_col).to_numpy()
+            order = np.argsort(cells, kind="stable")
+            cs = cells[order]
+            bnd = np.concatenate(
+                [[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+            out = []
+            for gi in range(len(bnd) - 1):
+                cid = int(cs[bnd[gi]])
+                total = _write_cell_dels(
+                    path, cid, ids[order[bnd[gi]:bnd[gi + 1]]], id_col)
+                out.append({"cell_id": cid, "deleted": total})
+            return pd.DataFrame(out)
+
+        stats = _ops.coarse_group_by_cell(cand, del_bucket).to_pandas()
+        for r in stats.itertuples():
+            man["partitions"][str(int(r.cell_id))]["deleted"] = int(r.deleted)
+
+    man["deleted_rows"] = sum(p.get("deleted", 0)
+                              for p in man["partitions"].values())
+    man["live_rows"] = man["total_rows"] - man["deleted_rows"]
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return man
+
+
+def remove_index_at_point(path: str, x: float, y: float) -> dict:
+    """remove_at_point against the persisted index (rtree.rs:864-867):
+    tombstone the smallest-id element containing the point."""
+    from . import kernels as K
+
+    q = np.array([x, y])
+
+    def sel(b: pa.Table) -> np.ndarray:
+        lo = np.c_[b.column("minx").to_numpy(), b.column("miny").to_numpy()]
+        up = np.c_[b.column("maxx").to_numpy(), b.column("maxy").to_numpy()]
+        return K.env_contains_point(lo, up, q)
+
+    def prune(lo: np.ndarray, up: np.ndarray) -> np.ndarray:
+        return ((lo[:, 0] <= x) & (up[:, 0] >= x)
+                & (lo[:, 1] <= y) & (up[:, 1] >= y))
+
+    return tombstone_index(path, sel, prune_partition=prune, limit=1)
+
+
+def drain_index_in_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
+                            intersecting: bool = False) -> dict:
+    """drain_in_envelope against the persisted index (rtree.rs:399-410):
+    tombstone EVERY element selected by the envelope predicate; pruned
+    partitions are never read."""
+    from . import kernels as K
+
+    qlo = np.array([qminx, qminy])
+    qhi = np.array([qmaxx, qmaxy])
+
+    def sel(b: pa.Table) -> np.ndarray:
+        lo = np.c_[b.column("minx").to_numpy(), b.column("miny").to_numpy()]
+        up = np.c_[b.column("maxx").to_numpy(), b.column("maxy").to_numpy()]
+        if intersecting:
+            return K.env_intersects(lo, up, qlo, qhi)
+        return K.env_contains_env(qlo[None], qhi[None], lo, up)
+
+    def prune(lo: np.ndarray, up: np.ndarray) -> np.ndarray:
+        return ((lo[:, 0] <= qmaxx) & (up[:, 0] >= qminx)
+                & (lo[:, 1] <= qmaxy) & (up[:, 1] >= qminy))
+
+    return tombstone_index(path, sel, prune_partition=prune)
+
+
+def compact_index(path: str) -> dict:
+    """Fold pending tombstones into the data files: rewrite each touched
+    partition without its dead rows (atomic), recompute its envelope,
+    drop emptied partitions entirely (the reference drops emptied nodes,
+    removal.rs:137-139), clear the del files, update the manifest.
+    One Ray task per group of touched cells — the rewrite is
+    distributed, the driver only touches the manifest."""
+    import ray.data as rd
+
+    man = load_manifest(path)
+    touched = [int(c) for c, p in man["partitions"].items()
+               if p.get("deleted", 0) > 0]
+    if not touched:
+        return man
+
+    def compact_cells(b: pa.Table) -> pa.Table:
+        out = []
+        for cid in b.column("cell_id").to_pylist():
+            cid = int(cid)
+            fname = os.path.join(path, f"part-{cid}.parquet")
+            dfile = os.path.join(path, _del_name(cid))
+            dl = pq.read_table(dfile).column("id").to_numpy()
+            t = pq.read_table(fname)
+            keep = ~np.isin(t.column("id").to_numpy(), dl)
+            t2 = t.filter(pa.array(keep))
+            if len(t2) == 0:
+                os.remove(fname)
+                rec = {"cell_id": cid, "rows": 0, "bytes": 0,
+                       "minx": 0.0, "miny": 0.0, "maxx": 0.0, "maxy": 0.0}
+            else:
+                tmp = fname + ".tmp"
+                pq.write_table(t2, tmp)
+                os.replace(tmp, fname)
+                rec = {"cell_id": cid, "rows": len(t2),
+                       "bytes": os.path.getsize(fname),
+                       "minx": float(t2.column("minx").to_numpy().min()),
+                       "miny": float(t2.column("miny").to_numpy().min()),
+                       "maxx": float(t2.column("maxx").to_numpy().max()),
+                       "maxy": float(t2.column("maxy").to_numpy().max())}
+            os.remove(dfile)
+            out.append(rec)
+        return pa.Table.from_pylist(out)
+
+    stats = (rd.from_items([{"cell_id": c} for c in touched])
+             .map_batches(compact_cells, batch_format="pyarrow").to_pandas())
+    for r in stats.itertuples():
+        key = str(int(r.cell_id))
+        if int(r.rows) == 0:
+            del man["partitions"][key]
+        else:
+            man["partitions"][key] = {
+                "file": f"part-{int(r.cell_id)}.parquet",
+                "rows": int(r.rows), "bytes": int(r.bytes),
+                "wall_ms": man["partitions"][key].get("wall_ms", 0.0),
+                "minx": float(r.minx), "miny": float(r.miny),
+                "maxx": float(r.maxx), "maxy": float(r.maxy),
+            }
+    man["total_rows"] = sum(p["rows"] for p in man["partitions"].values())
+    man["deleted_rows"] = 0
+    man["live_rows"] = man["total_rows"]
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return man
+
+
 def ingest_delta(path: str, delta_ds) -> dict:
     """Incremental insert (rstar R* insert, SURVEY.md §2.1): route delta
     rows to their cells, REBUILD only the touched partitions (merge old
@@ -629,6 +945,9 @@ def ingest_delta(path: str, delta_ds) -> dict:
     base_level = man["base_level"]
     bounds = G.Bounds(*man["bounds"])
     hot_map = {int(k): v for k, v in man["hot_map"].items()}
+    # pending tombstones of TOUCHED cells are folded into the rewrite
+    # (compaction rides the delta merge); untouched cells keep theirs
+    dels = load_tombstones(path, man)
 
     keyed = delta_ds.map_batches(
         lambda b: assign_adaptive_cells(b, base_level, hot_map, bounds),
@@ -662,10 +981,17 @@ def ingest_delta(path: str, delta_ds) -> dict:
             fname = os.path.join(path, f"part-{cid}.parquet")
             if os.path.exists(fname):
                 old = pq.read_table(fname)
+                dl = dels.get(cid)
+                if dl is not None:
+                    old = old.filter(
+                        pa.array(~np.isin(old.column("id").to_numpy(), dl)))
                 part = pa.concat_tables([old, part.select(old.column_names)])
             tmp = fname + ".tmp"
             pq.write_table(part, tmp)
             os.replace(tmp, fname)
+            dfile = os.path.join(path, _del_name(cid))
+            if os.path.exists(dfile):
+                os.remove(dfile)
             out.append({
                 "cell_id": cid, "rows": len(part),
                 "bytes": os.path.getsize(fname),
@@ -686,6 +1012,9 @@ def ingest_delta(path: str, delta_ds) -> dict:
             "maxx": float(r.maxx), "maxy": float(r.maxy),
         }
     man["total_rows"] = sum(p["rows"] for p in man["partitions"].values())
+    man["deleted_rows"] = sum(p.get("deleted", 0)
+                              for p in man["partitions"].values())
+    man["live_rows"] = man["total_rows"] - man["deleted_rows"]
     tmp = os.path.join(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(man, f, indent=1)

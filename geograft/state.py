@@ -22,17 +22,20 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .pipeline import load_manifest
+from .pipeline import _del_name, live_rows, load_manifest
 from .ptree import PTree
 
 
 def _manifest_arrays(man: dict, with_counts: bool = False):
     """(cell_ids, lower, upper[, counts]) of the non-empty partitions —
-    the planner's pruning arrays, built once per query batch."""
+    the planner's pruning arrays, built once per query batch. Counts are
+    LIVE rows (net of tombstones): kNN candidate-availability proofs
+    must not count dead rows, and envelopes stay conservative (sound
+    for pruning) until compaction."""
     cids, counts, plo, pup = [], [], [], []
     for cid, p in man["partitions"].items():
-        if p["rows"] > 0:
-            cids.append(int(cid)); counts.append(p["rows"])
+        if live_rows(p) > 0:
+            cids.append(int(cid)); counts.append(live_rows(p))
             plo.append([p["minx"], p["miny"]])
             pup.append([p["maxx"], p["maxy"]])
     out = (np.asarray(cids, dtype=np.int64), np.asarray(plo), np.asarray(pup))
@@ -58,6 +61,11 @@ class PartitionQuerier:
                 os.path.join(self.path, p["file"]),
                 columns=["id", "minx", "miny", "maxx", "maxy"],
             )
+            if p.get("deleted", 0):
+                # pending tombstones: dead rows never enter the tree
+                dl = pq.read_table(
+                    os.path.join(self.path, _del_name(cid))).column("id").to_numpy()
+                t = t.filter(pa.array(~np.isin(t.column("id").to_numpy(), dl)))
             lo = np.c_[t.column("minx").to_numpy(), t.column("miny").to_numpy()]
             up = np.c_[t.column("maxx").to_numpy(), t.column("maxy").to_numpy()]
             ids = t.column("id").to_numpy()
@@ -335,6 +343,8 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
                          "id": np.concatenate(out_i),
                          "dist2": np.concatenate(out_d)})
 
+    from .pipeline import filter_tombstones, load_tombstones
+
     ds = rd.read_parquet(
         [files[c] for c in touched],
         columns=["id", "cell_id", "minx", "miny", "maxx", "maxy"],
@@ -342,6 +352,7 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
         # handles multi-cell batches
         override_num_blocks=min(64, len(touched)),
     )
+    ds = filter_tombstones(ds, load_tombstones(index_path, man))
     cand = ds.map_batches(cell_knn, batch_format="pyarrow", batch_size=None)
     import pandas as pd
 
@@ -369,8 +380,8 @@ def knn_index_batch(index_path: str, queries: pa.Table, k: int,
     man = load_manifest(index_path)
     cids, counts, plo, pup = [], [], [], []
     for cid, p in man["partitions"].items():
-        if p["rows"] > 0:
-            cids.append(int(cid)); counts.append(p["rows"])
+        if live_rows(p) > 0:
+            cids.append(int(cid)); counts.append(live_rows(p))
             plo.append([p["minx"], p["miny"]])
             pup.append([p["maxx"], p["maxy"]])
     cids = np.asarray(cids, dtype=np.int64)

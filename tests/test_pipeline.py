@@ -328,3 +328,101 @@ def test_nd_indexed_knn_vs_brute(ray_session, sf_small, tmp_path):
     want = ops.knn_nd(FX.points3d_ds(sf_small), q, k=5, axes=["x", "y", "z"])
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     assert len(got) == qn * 5
+
+
+# ---- index-integrated removal (removal.rs:67-243 + 257-302) --------------
+
+def test_index_drain_tombstones_then_compact(ray_session, sf_small, tmp_index):
+    src = FX.points_ds(sf_small)
+    pipeline.build_partitioned_index(
+        src, tmp_index, base_level=4, bounds=FX.POINTS_BOUNDS
+    )
+    all_ids = np.sort(src.to_pandas()["id"].to_numpy())
+    env = (5.0, 10.0, 20.0, 40.0)
+    drained = np.sort(
+        ops.locate_in_envelope(src, *env).to_pandas()["id"].to_numpy())
+    assert len(drained) > 0
+
+    man = pipeline.drain_index_in_envelope(tmp_index, *env)
+    assert man["deleted_rows"] == len(drained)
+    # sanity passes with PENDING tombstones (data files untouched)
+    pipeline.sanity_check_index(tmp_index,
+                                expected_rows=len(all_ids) - len(drained))
+    want_live = np.setdiff1d(all_ids, drained)
+
+    # every query surface sees the removal immediately
+    got = np.sort(pipeline.read_index(tmp_index).to_pandas()["id"].to_numpy())
+    np.testing.assert_array_equal(got, want_live)
+
+    b = FX.POINTS_BOUNDS
+    out = pipeline.query_index_envelope(
+        tmp_index, b.minx, b.miny, b.maxx, b.maxy, intersecting=True)
+    np.testing.assert_array_equal(
+        np.sort(out.to_pandas()["id"].to_numpy()), want_live)
+
+    # actor-pool path (PartitionQuerier loads trees tombstone-filtered)
+    from geograft import state as ST
+
+    boxes = pa.table({"box_id": [0], "minx": [b.minx], "miny": [b.miny],
+                      "maxx": [b.maxx], "maxy": [b.maxy]})
+    hits = ST.query_index_batch(tmp_index, boxes, intersecting=True)
+    np.testing.assert_array_equal(
+        np.sort(hits.to_pandas()["id"].to_numpy()), want_live)
+
+    # kNN planned with LIVE counts: query from inside the drained
+    # envelope must return the nearest SURVIVORS
+    df = src.to_pandas()
+    live = df[~df["id"].isin(drained)]
+    qx, qy = 12.0, 25.0  # center of the drained envelope
+    d2 = (live["x"].to_numpy() - qx) ** 2 + (live["y"].to_numpy() - qy) ** 2
+    order = np.lexsort((live["id"].to_numpy(), d2))[:5]
+    want_knn = live["id"].to_numpy()[order]
+    q = pa.table({"qid": [0], "x": [qx], "y": [qy]})
+    got_knn = ST.knn_on_index(tmp_index, q, k=5)["id"].to_numpy()
+    np.testing.assert_array_equal(got_knn, want_knn)
+    got_knn2 = ST.knn_index_batch(tmp_index, q, k=5)["id"].to_numpy()
+    np.testing.assert_array_equal(got_knn2, want_knn)
+
+    # compaction folds tombstones into the files; answers unchanged
+    man2 = pipeline.compact_index(tmp_index)
+    assert man2["deleted_rows"] == 0
+    assert man2["total_rows"] == len(want_live)
+    pipeline.sanity_check_index(tmp_index, expected_rows=len(want_live))
+    got2 = np.sort(pipeline.read_index(tmp_index).to_pandas()["id"].to_numpy())
+    np.testing.assert_array_equal(got2, want_live)
+
+
+def test_index_remove_at_point_min_id(ray_session, sf_small, tmp_index):
+    src = FX.points_ds(sf_small)
+    pipeline.build_partitioned_index(
+        src, tmp_index, base_level=4, bounds=FX.POINTS_BOUNDS
+    )
+    df = src.to_pandas()
+    px, py = float(df["x"].iloc[0]), float(df["y"].iloc[0])
+    at = df[(df["x"] == px) & (df["y"] == py)]["id"].to_numpy()
+    man = pipeline.remove_index_at_point(tmp_index, px, py)
+    assert man["deleted_rows"] == 1
+    got = np.sort(pipeline.read_index(tmp_index).to_pandas()["id"].to_numpy())
+    want = np.setdiff1d(df["id"].to_numpy(), [at.min()])
+    np.testing.assert_array_equal(got, want)
+    # removing at an empty point is a no-op
+    man2 = pipeline.remove_index_at_point(tmp_index, -1e12, -1e12)
+    assert man2["deleted_rows"] == 1
+
+
+def test_index_remove_then_reinsert_round_trip(ray_session, sf_small, tmp_index):
+    # removal.rs:257-302: remove-then-insert keeps size and membership;
+    # the delta merge folds pending tombstones into the rewrite
+    src = FX.points_ds(sf_small)
+    pipeline.build_partitioned_index(
+        src, tmp_index, base_level=4, bounds=FX.POINTS_BOUNDS
+    )
+    all_ids = np.sort(src.to_pandas()["id"].to_numpy())
+    env = (5.0, 10.0, 20.0, 40.0)
+    pipeline.drain_index_in_envelope(tmp_index, *env)
+    delta = ops.locate_in_envelope(src, *env)
+    man = pipeline.ingest_delta(tmp_index, delta)
+    assert man["deleted_rows"] == 0
+    pipeline.sanity_check_index(tmp_index, expected_rows=len(all_ids))
+    got = np.sort(pipeline.read_index(tmp_index).to_pandas()["id"].to_numpy())
+    np.testing.assert_array_equal(got, all_ids)
