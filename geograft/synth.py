@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SPAN_TYPE = pa.struct(
     [
@@ -85,97 +86,117 @@ def make_random_docs(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def _fmt_f64(arr) -> pa.Array:
+    """float64 -> shortest round-trip decimal string (Arrow cast).
+
+    Arrow's float formatter, like Python's repr, emits the shortest
+    string that parses back to the identical double — so the
+    synthesize -> parse round trip is bit-exact even though integral
+    values print as '13' rather than '13.0'."""
+    a = arr if isinstance(arr, (pa.Array, pa.ChunkedArray)) else pa.array(arr)
+    return pc.cast(a, pa.string())
+
+
+def _doc_ids(eid_arr) -> pa.Array:
+    """event_id -> 'd' + zero-padded-10 id, all-Arrow."""
+    s = pc.utf8_lpad(pc.cast(eid_arr, pa.string()), 10, padding="0")
+    return pc.binary_join_element_wise("d", s, "")
+
+
+def _interleave(cols: list[pa.Array]) -> pa.Array:
+    """Row-interleave k same-length arrays into one array of length k*n
+    (row i -> positions k*i .. k*i+k-1) with one concat + one take —
+    no Python row loop."""
+    k, n = len(cols), len(cols[0])
+    idx = np.empty(k * n, dtype=np.int64)
+    for j in range(k):
+        idx[j::k] = j * n + np.arange(n)
+    return pc.take(pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols]), pa.array(idx))
+
+
 def docs_from_events(batch: pa.Table) -> pa.Table:
-    """One interleaved doc per event row (vectorized).
+    """One interleaved doc per event row — all-Arrow columnar (no
+    per-row Python; this stage fronts the flagship bench, so synthesis
+    cost must be kernel cost).
 
     Span sequence per doc (order is the invariant):
       0: text  — ``{event_type} {props}``
-      1: geo   — ``POINT({value!r} {float(user_id)!r})``
+      1: geo   — ``POINT({value} {user_id})`` (shortest round-trip repr)
       2: media — ``m://{doc_id}/2``
 
-    ``repr`` of a Python float round-trips exactly, so parsing the geo
-    span back recovers bit-identical coordinates — the oracle SQL can
-    simply read the original columns.
+    The geo coordinates parse back bit-identically (see _fmt_f64), so
+    the oracle SQL can simply read the original columns.
     """
-    eid = batch["event_id"].to_numpy()
-    val = batch["value"].to_numpy()
-    uid = batch["user_id"].to_numpy()
-    etype = batch["event_type"].to_pylist()
-    props = batch["props"].to_pylist()
+    n = len(batch)
+    doc_ids = _doc_ids(batch["event_id"])
+    text0 = pc.binary_join_element_wise(batch["event_type"], batch["props"], " ")
+    geo = pc.binary_join_element_wise(
+        "POINT(", _fmt_f64(batch["value"]),
+        " ", _fmt_f64(pc.cast(batch["user_id"], pa.float64())), ")", "")
+    media = pc.binary_join_element_wise("m://", doc_ids, "/2", "")
+    empty = pc.take(pa.array([""]), pa.array(np.zeros(n, dtype=np.int64)))
 
-    doc_ids = [f"d{e:010d}" for e in eid]
-    text0 = [f"{t} {p}" for t, p in zip(etype, props)]
-    geo = [f"POINT({float(v)!r} {float(u)!r})" for v, u in zip(val, uid)]
-
-    n = len(doc_ids)
     kinds = pa.array(np.tile(["text", "geo", "media"], n))
-    texts, medias, offsets = [], [], []
-    for i in range(n):
-        t0, g = text0[i], geo[i]
-        texts += [t0, g, ""]
-        medias += ["", "", f"m://{doc_ids[i]}/2"]
-        o1 = len(t0) + 1
-        offsets += [0, o1, o1 + len(g) + 1]
+    texts = _interleave([text0, geo, empty])
+    medias = _interleave([empty, empty, media])
+    o1 = pc.utf8_length(text0).to_numpy().astype(np.int64) + 1
+    o2 = o1 + pc.utf8_length(geo).to_numpy() + 1
+    offsets = np.zeros(3 * n, dtype=np.int32)
+    offsets[1::3] = o1
+    offsets[2::3] = o2
     flat = pa.StructArray.from_arrays(
-        [kinds, pa.array(texts), pa.array(medias), pa.array(offsets, type=pa.int32())],
+        [kinds, texts, medias, pa.array(offsets)],
         names=["kind", "text", "media_ref", "offset"],
     )
     spans = pa.ListArray.from_arrays(pa.array(np.arange(0, 3 * n + 1, 3, dtype=np.int32)), flat)
-    return pa.table({"doc_id": pa.array(doc_ids), "spans": spans}, schema=DOC_SCHEMA)
+    return pa.table({"doc_id": doc_ids, "spans": spans}, schema=DOC_SCHEMA)
+
+
+def _single_geo_docs(doc_ids: pa.Array, geo: pa.Array) -> pa.Table:
+    """doc table with exactly one geo span per doc."""
+    n = len(doc_ids)
+    flat = pa.StructArray.from_arrays(
+        [pa.array(np.tile(["geo"], n)),
+         geo.combine_chunks() if isinstance(geo, pa.ChunkedArray) else geo,
+         pc.take(pa.array([""]), pa.array(np.zeros(n, dtype=np.int64))),
+         pa.array(np.zeros(n, dtype=np.int32))],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), flat)
+    return pa.table({"doc_id": doc_ids, "spans": spans}, schema=DOC_SCHEMA)
 
 
 def docs_from_events_lines(batch: pa.Table) -> pa.Table:
     """Interleaved docs whose geo span is a LINE segment derived from
     event columns: from (value, user_id) to (value + k/10, user_id + 1)
     where k comes from the props JSON — so the oracle SQL can recompute
-    the endpoints exactly with json_extract."""
-    import json as _json
-
-    eid = batch["event_id"].to_numpy()
+    the endpoints exactly with json_extract. All-Arrow: k is pulled with
+    a vectorized regex, not per-row json.loads."""
     val = batch["value"].to_numpy()
-    uid = batch["user_id"].to_numpy()
-    props = batch["props"].to_pylist()
-    ks = np.asarray([_json.loads(p)["k"] for p in props], dtype=np.float64)
+    uid = pc.cast(batch["user_id"], pa.float64()).to_numpy()
+    ks = pc.cast(
+        pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)'), "k"),
+        pa.float64()).to_numpy()
 
-    doc_ids = [f"d{e:010d}" for e in eid]
     x2 = val + ks / 10.0
-    y2 = uid.astype(np.float64) + 1.0
-    geo = [
-        f"LINE({float(a)!r} {float(b)!r} {float(c)!r} {float(d)!r})"
-        for a, b, c, d in zip(val, uid.astype(np.float64), x2, y2)
-    ]
-    n = len(doc_ids)
-    kinds = pa.array(np.tile(["geo"], n))
-    flat = pa.StructArray.from_arrays(
-        [kinds, pa.array(geo), pa.array([""] * n),
-         pa.array(np.zeros(n, dtype=np.int32))],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    spans = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), flat)
-    return pa.table({"doc_id": pa.array(doc_ids), "spans": spans}, schema=DOC_SCHEMA)
+    y2 = uid + 1.0
+    geo = pc.binary_join_element_wise(
+        "LINE(", _fmt_f64(val), " ", _fmt_f64(uid), " ",
+        _fmt_f64(x2), " ", _fmt_f64(y2), ")", "")
+    return _single_geo_docs(_doc_ids(batch["event_id"]), geo)
 
 
 def docs_from_events_polys(batch: pa.Table) -> pa.Table:
     """Interleaved docs whose geo span is a POLY triangle derived from
-    event columns: vertices (v,u), (v+30,u), (v,u+5) with exact reprs."""
-    eid = batch["event_id"].to_numpy()
+    event columns: vertices (v,u), (v+30,u), (v,u+5), all-Arrow."""
     val = batch["value"].to_numpy()
-    uid = batch["user_id"].to_numpy().astype(np.float64)
-
-    doc_ids = [f"d{e:010d}" for e in eid]
-    geo = [
-        f"POLY({float(v)!r} {float(u)!r} {float(v + 30.0)!r} {float(u)!r} "
-        f"{float(v)!r} {float(u + 5.0)!r})"
-        for v, u in zip(val, uid)
-    ]
-    n = len(doc_ids)
-    flat = pa.StructArray.from_arrays(
-        [pa.array(np.tile(["geo"], n)), pa.array(geo), pa.array([""] * n),
-         pa.array(np.zeros(n, dtype=np.int32))],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    spans = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), flat)
-    return pa.table({"doc_id": pa.array(doc_ids), "spans": spans}, schema=DOC_SCHEMA)
+    uid = pc.cast(batch["user_id"], pa.float64()).to_numpy()
+    geo = pc.binary_join_element_wise(
+        "POLY(", _fmt_f64(val), " ", _fmt_f64(uid), " ",
+        _fmt_f64(val + 30.0), " ", _fmt_f64(uid), " ",
+        _fmt_f64(val), " ", _fmt_f64(uid + 5.0), ")", "")
+    return _single_geo_docs(_doc_ids(batch["event_id"]), geo)
 
 
 def span_fingerprints(docs: pa.Table) -> dict[str, int]:
