@@ -446,6 +446,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_exact(sf):
         return T.dedup_exact(_docs(sf))
 
+    def quality_score(sf):
+        # model-inference slot (actor-pool classifier, weights loaded
+        # once per actor): dyadic weights over integer count features
+        # make the scores exact float64, so a SQL oracle hash-verifies
+        # the model-scoring pipeline end to end
+        return T.quality_score(_docs(sf))
+
     def token_stats(sf):
         return T.token_stats(_docs(sf))
 
@@ -677,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_4d": knn_4d,
         "indexed_remove": indexed_remove,
         "indexed_remove_reinsert": indexed_remove_reinsert,
+        "quality_score": quality_score,
         # -- (3) verified once (r02) ----------------------------------------
         "locate_in_box_3d": locate_in_box_3d,
         "locate_in_box_int": locate_in_box_int,
@@ -706,7 +714,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": token_stats,
         "bpe_token_stats": bpe_token_stats,
         "jaccard_pairs": jaccard_pairs,
-        "jaccard_pairs_prefix": jaccard_pairs_prefix,
         "neardup_minhash": neardup_minhash,
         "lang_id": lang_id,
         "simhash": simhash,
@@ -729,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pop_nearest_neighbor": pop_nearest_neighbor,
         "spatial_join": spatial_join,
         "tile_histogram": tile_histogram,
+        # (same oracle as jaccard_pairs, which stays in the checked 50)
+        "jaccard_pairs_prefix": jaccard_pairs_prefix,
     }
 
 
@@ -925,6 +934,17 @@ def oracle_sql() -> dict[str, str]:
             "value AS x, CAST(user_id AS DOUBLE) AS y FROM events"
         ),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "quality_score": (
+            "WITH f AS (SELECT doc_id, "
+            "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens, "
+            "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits, "
+            "length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha, "
+            "length(text)::BIGINT AS n_chars FROM documents) "
+            "SELECT doc_id, "
+            "-52.0 + 0.5*n_tokens + 0.125*n_alpha - 0.25*n_digits - 0.015625*n_chars AS q_score, "
+            "(-52.0 + 0.5*n_tokens + 0.125*n_alpha - 0.25*n_digits - 0.015625*n_chars) > 0.0 AS keep "
+            "FROM f"
+        ),
         "dedup_exact_checkpointed": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_stats": (
             "SELECT doc_id, "

@@ -196,6 +196,63 @@ def lang_id(ds, concurrency: int = 2):
                           concurrency=concurrency)
 
 
+class QualityScorer:
+    """Actor-pool model-inference stage — the training-data pipeline's
+    'quality classifier' slot.
+
+    Weights load ONCE per actor in __init__ (here a deterministic
+    built-in linear model standing in for a classifier checkpoint — no
+    model weights ship in this sandbox; on a real cluster point
+    ``weight_source`` at a checkpoint file and load it here), and
+    __call__ scores each batch with one vectorized feature extraction +
+    dot product. Same actor shape as LangId: swap the model without
+    touching the pipeline.
+
+    The built-in weights are dyadic rationals (powers of two) over
+    integer count features, so every product and partial sum is EXACT
+    in float64: scores are bit-identical under any summation order,
+    which is what lets a SQL oracle hash-verify a model-scoring
+    pipeline end to end.
+    """
+
+    #: (feature, weight); dyadic weights => exact float64 arithmetic
+    WEIGHTS = (("n_tokens", 0.5), ("n_alpha", 0.125),
+               ("n_digits", -0.25), ("n_chars", -0.015625))
+    #: dyadic; centers the testdata score distribution so `keep` is a
+    #: discriminating ~50/50 split, not a constant column
+    BIAS = -52.0
+
+    def __init__(self, weight_source: str | None = None):
+        if weight_source is not None:  # pragma: no cover - cluster path
+            raise NotImplementedError(
+                "external checkpoint loading needs a model format choice")
+        self.w = {k: v for k, v in self.WEIGHTS}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        feats = {
+            "n_tokens": _count_re(txt, r"[^\s]+"),
+            "n_alpha": _count_re(txt, "[a-z]"),
+            "n_digits": _count_re(txt, "[0-9]"),
+            "n_chars": pc.fill_null(pc.utf8_length(txt), 0)
+                         .cast(pa.int64()).to_numpy(),
+        }
+        z = np.full(len(batch), self.BIAS)
+        for name, w in self.WEIGHTS:
+            z += w * feats[name]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "q_score": pa.array(z),
+            "keep": pa.array(z > 0.0),
+        })
+
+
+def quality_score(ds, concurrency: int = 2):
+    """Model-scored document quality: (doc_id, q_score, keep)."""
+    return ds.map_batches(QualityScorer, batch_format="pyarrow",
+                          batch_size=4096, concurrency=concurrency)
+
+
 def _flat_tokens(txt) -> tuple[np.ndarray, "pa.Array"]:
     """(per-doc token count, flattened tokens) with Python str.split()
     semantics (whitespace runs, no empties) — columnar: Arrow split +

@@ -334,3 +334,25 @@ def test_neardup_simhash_exact_vs_brute(ray_session):
     got_map = {(int(r.a), int(r.b)): int(r.hamming) for r in got.itertuples()}
     assert got_map == want
     assert len(want) > 0, "planted near-dups must collide"
+
+
+def test_quality_score_exact_vs_sql_and_discriminating(ray_session, con, sf_small):
+    # model-inference stage: dyadic weights over integer features =>
+    # bit-exact scores in any summation order; SQL oracle hash parity
+    got = T.quality_score(docs_ds(sf_small)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.sql(r"""
+        WITH f AS (SELECT doc_id,
+          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+          (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits,
+          length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+          length(text)::BIGINT AS n_chars FROM documents)
+        SELECT doc_id,
+          -52.0 + 0.5*n_tokens + 0.125*n_alpha - 0.25*n_digits - 0.015625*n_chars AS q_score,
+          (-52.0 + 0.5*n_tokens + 0.125*n_alpha - 0.25*n_digits - 0.015625*n_chars) > 0.0 AS keep
+        FROM f ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    np.testing.assert_array_equal(got["q_score"].to_numpy(), want["q_score"].to_numpy())
+    np.testing.assert_array_equal(got["keep"].to_numpy(), want["keep"].to_numpy())
+    frac = got["keep"].mean()
+    assert 0.1 < frac < 0.9, "keep must be a discriminating split"
