@@ -44,18 +44,96 @@ def coarse_bucket_ids(keys: np.ndarray, n_buckets: int = N_SHUFFLE) -> np.ndarra
             % np.uint64(n_buckets)).astype(np.int64)
 
 
+# Direct (sort-free) exchange gate. Ray Data's groupby().map_groups is
+# a SORT: sample + sort-map + sort-reduce waves whose fixed latency
+# (~1 s on this box) dwarfs the actual work on small inputs — measured:
+# spatial_join @ sf0.1 spends 1.3 s in the Sort operator for ~7 ms of
+# remote compute. Below the gate, buckets are exchanged with two raw-Ray
+# task waves (per-block split -> per-bucket gather), the classic
+# map-side-split shuffle. Above it, the streaming sort path amortizes
+# its barrier and keeps driver-side ref bookkeeping O(1) — at 100 TB the
+# split matrix (blocks x buckets refs on the driver) would not fit, so
+# big exchanges MUST stay on the sort path.
+DIRECT_EXCHANGE_MAX_BYTES = 4 << 30
+_DIRECT_MAX_BLOCKS = 512
+_SPLIT_RT = None
+_GATHER_RT = None
+
+
+def _split_by_bucket(tbl: pa.Table, nb: int, key_col: str):
+    """Ray task: one input block -> nb per-bucket slices (schema kept,
+    __cg appended). One argsort + one take; slices are zero-copy."""
+    if len(tbl) == 0 or key_col not in tbl.column_names:
+        e = tbl.append_column("__cg", pa.array([], type=pa.int64())) \
+            if "__cg" not in tbl.column_names else tbl
+        return tuple(e.slice(0, 0) for _ in range(nb))
+    cb = coarse_bucket_ids(tbl.column(key_col).to_numpy(), nb)
+    t = tbl.append_column("__cg", pa.array(cb))
+    order = np.argsort(cb, kind="stable")
+    cs = cb[order]
+    idx = np.searchsorted(cs, np.arange(nb + 1))
+    taken = t.take(pa.array(order))
+    return tuple(taken.slice(int(idx[j]), int(idx[j + 1] - idx[j]))
+                 for j in range(nb))
+
+
+def _gather_bucket(fn, *parts):
+    """Ray task: concat one bucket's splits, run the group fn."""
+    import pandas as pd
+
+    tabs = [p for p in parts if p.num_rows > 0]
+    t = pa.concat_tables(tabs) if tabs else parts[0]
+    out = fn(t)
+    if isinstance(out, pd.DataFrame):
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    return out
+
+
 def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
-                         n_buckets: int | None = None):
+                         n_buckets: int | None = None,
+                         exchange: str = "auto"):
     """ONE all-to-all exchange on ``hash(key) % n_buckets``; ``fn`` is
     called once per bucket with every row of every key in that bucket
     co-located (same guarantee a per-key groupby gives, at partition
     granularity). fn must sub-group by ``key_col`` internally.
     ``n_buckets`` defaults to the data-size-driven count
-    (scale.shuffle_buckets) so one bucket's rows always fit a task."""
+    (scale.shuffle_buckets) so one bucket's rows always fit a task.
+
+    ``exchange``: 'auto' picks 'direct' (two-wave sort-free raw-Ray
+    split+gather; latency-optimized) when the input's estimated bytes
+    fit DIRECT_EXCHANGE_MAX_BYTES, else 'sort' (Ray Data sort-based
+    groupby; streaming, driver-state-free — the only valid choice at
+    cluster scale)."""
+    import ray
+
     if n_buckets is None:
         from .scale import shuffle_buckets
 
         n_buckets = shuffle_buckets(ds)
+
+    if exchange == "auto":
+        from .scale import input_bytes_estimate
+
+        est = input_bytes_estimate(ds)
+        exchange = ("direct" if est is not None
+                    and est <= DIRECT_EXCHANGE_MAX_BYTES else "sort")
+
+    if exchange == "direct" and n_buckets > 1:
+        import ray.data as rd
+
+        refs = ds.to_arrow_refs()
+        if refs and len(refs) <= _DIRECT_MAX_BLOCKS:
+            global _SPLIT_RT, _GATHER_RT
+            if _SPLIT_RT is None:
+                _SPLIT_RT = ray.remote(_split_by_bucket)
+                _GATHER_RT = ray.remote(_gather_bucket)
+            split = _SPLIT_RT.options(num_returns=n_buckets)
+            cols = [split.remote(r, n_buckets, key_col) for r in refs]
+            outs = [_GATHER_RT.remote(fn, *[c[j] for c in cols])
+                    for j in range(n_buckets)]
+            return rd.from_arrow_refs(outs)
+        if refs:
+            ds = rd.from_arrow_refs(refs)  # blocks already materialized
 
     def add(b: pa.Table) -> pa.Table:
         cb = coarse_bucket_ids(b.column(key_col).to_numpy(), n_buckets)
