@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import grid as G
+from . import metrics
 from . import ops
 
 # underscore prefix: pyarrow/Ray dataset discovery skips non-data files
@@ -157,7 +158,8 @@ def build_partitioned_index(
             })
         return pd.DataFrame(out)
 
-    stats = ops.coarse_group_by_cell(keyed, write_bucket).to_pandas()
+    stats_ds = ops.coarse_group_by_cell(keyed, write_bucket)
+    stats = stats_ds.to_pandas()
 
     partitions = {
         str(int(r.cell_id)): {
@@ -178,6 +180,7 @@ def build_partitioned_index(
         "built_cells": int((~stats["skipped"]).sum()),
         "resumed_cells": int(stats["skipped"].sum()),
         "wall_sec": round(time.perf_counter() - t_start, 3),
+        "stages": metrics.stage_metrics(stats_ds),
         "partitions": partitions,
     }
     tmp = man_path + ".tmp"
@@ -414,7 +417,8 @@ def build_partitioned_index_nd(
             out.append(rec)
         return pd.DataFrame(out)
 
-    stats = ops.coarse_group_by_cell(keyed, write_bucket).to_pandas()
+    stats_ds = ops.coarse_group_by_cell(keyed, write_bucket)
+    stats = stats_ds.to_pandas()
     partitions = {
         str(int(r.cell_id)): {
             "file": f"part-{int(r.cell_id)}.parquet",
@@ -435,6 +439,7 @@ def build_partitioned_index_nd(
         "built_cells": int((~stats["skipped"]).sum()),
         "resumed_cells": int(stats["skipped"].sum()),
         "wall_sec": round(time.perf_counter() - t_start, 3),
+        "stages": metrics.stage_metrics(stats_ds),
         "partitions": partitions,
     }
     tmp = man_path + ".tmp"

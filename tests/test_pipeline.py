@@ -426,3 +426,23 @@ def test_index_remove_then_reinsert_round_trip(ray_session, sf_small, tmp_index)
     pipeline.sanity_check_index(tmp_index, expected_rows=len(all_ids))
     got = np.sort(pipeline.read_index(tmp_index).to_pandas()["id"].to_numpy())
     np.testing.assert_array_equal(got, all_ids)
+
+
+def test_read_table_sized_dispatch(ray_session, sf_small, tmp_path):
+    """read_table_sized: parquet path reads; a .lance path without the
+    lance package raises the precise gate error (never silently falls
+    back to the parquet reader)."""
+    import pytest as _pytest
+
+    from geograft import io
+
+    ds = io.read_table_sized(f"{sf_small}/events.parquet", columns=["user_id"])
+    assert ds.count() > 0 and ds.schema().names == ["user_id"]
+
+    lance_dir = tmp_path / "t.lance"
+    lance_dir.mkdir()
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="Lance"):
+            io.read_table_sized(str(lance_dir))
