@@ -129,7 +129,10 @@ def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
                 _GATHER_RT = ray.remote(_gather_bucket)
             split = _SPLIT_RT.options(num_returns=n_buckets)
             cols = [split.remote(r, n_buckets, key_col) for r in refs]
-            outs = [_GATHER_RT.remote(fn, *[c[j] for c in cols])
+            # fn may close over sizeable state (a resume manifest, a
+            # broadcast lookup): serialize it ONCE, not per bucket task
+            fn_ref = ray.put(fn)
+            outs = [_GATHER_RT.remote(fn_ref, *[c[j] for c in cols])
                     for j in range(n_buckets)]
             return rd.from_arrow_refs(outs)
         if refs:
