@@ -40,6 +40,14 @@ TS4_Q = (473352.0, 473568.0)                # epoch-hours window (2024-01-01..10
 BOX4_LO = (5.0, 10.0, 0.0, TS4_Q[0])
 BOX4_HI = (200.0, 80.0, 5000.0, TS4_Q[1])
 KNN4_Q = (100.0, 50.0, 2500.0, 473400.0, 10)  # 4-d kNN (…, k)
+# PII defaults (exercise zero-match exactness on this corpus) + rules
+# that DO match the documents fixture, so the redaction path is hot
+SCRUB_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("tool", r"\bspark\b", "<TOOL>"),
+    ("mode", r"\b(?:batch|stream)\b", "<MODE>"),
+]
 
 
 def entry() -> Any:
@@ -453,6 +461,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the model-scoring pipeline end to end
         return T.quality_score(_docs(sf))
 
+    def scrub_pii(sf):
+        # sequential regex redaction with per-rule counts; oracle is
+        # generated from the SAME ruleset (textops.scrub_oracle_sql)
+        return T.scrub_text(_docs(sf), rules=SCRUB_RULES)
+
     def token_stats(sf):
         return T.token_stats(_docs(sf))
 
@@ -685,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_remove": indexed_remove,
         "indexed_remove_reinsert": indexed_remove_reinsert,
         "quality_score": quality_score,
+        "scrub_pii": scrub_pii,
         # -- (3) verified once (r02) ----------------------------------------
         "locate_in_box_3d": locate_in_box_3d,
         "locate_in_box_int": locate_in_box_int,
@@ -743,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from geograft import fixtures as FX
+    from geograft import textops as _T
 
     P = FX.POINTS_SQL
     R = FX.RECTS_SQL
@@ -945,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
             "(-52.0 + 0.5*n_tokens + 0.125*n_alpha - 0.25*n_digits - 0.015625*n_chars) > 0.0 AS keep "
             "FROM f"
         ),
+        "scrub_pii": _T.scrub_oracle_sql(SCRUB_RULES),
         "dedup_exact_checkpointed": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_stats": (
             "SELECT doc_id, "

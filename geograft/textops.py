@@ -116,6 +116,75 @@ def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing / regex redaction (SQL-oracle-able, exact)
+# --------------------------------------------------------------------------
+
+# Default redaction ruleset a training-data pipeline applies before any
+# text leaves the ingest stage. RE2 syntax only (no backrefs/lookahead)
+# so the pyarrow kernels and the DuckDB oracle share one dialect.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_text(ds, rules: list[tuple[str, str, str]] | None = None,
+               text_col: str = "text", id_col: str = "doc_id",
+               out_col: str = "text_clean"):
+    """Sequential regex redaction: for each (name, pattern, replacement)
+    rule IN ORDER, count non-overlapping matches in the CURRENT text,
+    then replace them — later rules see earlier rules' replacements,
+    exactly like a chained `regexp_replace(..., 'g')` in SQL. Output:
+    id, scrubbed text, one `n_<name>` count column per rule, and the
+    total `n_redacted`. All pyarrow.compute kernels (RE2), zero
+    per-row Python; embarrassingly parallel, no shuffle."""
+    if rules is None:
+        rules = PII_RULES
+
+    def f(b: pa.Table) -> pa.Table:
+        cur = b.column(text_col)
+        cols: dict = {id_col: b.column(id_col)}
+        total = np.zeros(len(b), dtype=np.int64)
+        for name, pat, rep in rules:
+            n = _count_re(cur, pat)
+            cur = pc.replace_substring_regex(cur, pat, rep)
+            cols[f"n_{name}"] = n
+            total += n
+        cols[out_col] = cur
+        cols["n_redacted"] = total
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def scrub_oracle_sql(rules: list[tuple[str, str, str]] | None = None,
+                     table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     out_col: str = "text_clean") -> str:
+    """The DuckDB-equivalent CTE chain for scrub_text's sequential
+    semantics, generated from the SAME ruleset (single source of
+    truth so the oracle can never drift from the engine)."""
+    if rules is None:
+        rules = PII_RULES
+    sql = f"WITH s0 AS (SELECT {id_col}, {text_col} AS t FROM {table})"
+    names = []
+    for i, (name, pat, rep) in enumerate(rules, start=1):
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        prev = ", ".join(f"n_{n}" for n in names)
+        prev = prev + ", " if prev else ""
+        sql += (f", s{i} AS (SELECT {id_col}, {prev}"
+                f"len(regexp_extract_all(t, '{p}')) AS n_{name}, "
+                f"regexp_replace(t, '{p}', '{r}', 'g') AS t FROM s{i-1})")
+        names.append(name)
+    counts = ", ".join(f"n_{n}" for n in names)
+    total = " + ".join(f"n_{n}" for n in names)
+    return (f"{sql} SELECT {id_col}, {counts}, t AS {out_col}, "
+            f"{total} AS n_redacted FROM s{len(rules)}")
+
+
 # BPE-ish pre-tokenizer classes (GPT-2-style word/number/punct split,
 # simplified to a dialect-portable character-class regex so the DuckDB
 # oracle matches exactly)

@@ -356,3 +356,37 @@ def test_quality_score_exact_vs_sql_and_discriminating(ray_session, con, sf_smal
     np.testing.assert_array_equal(got["keep"].to_numpy(), want["keep"].to_numpy())
     frac = got["keep"].mean()
     assert 0.1 < frac < 0.9, "keep must be a discriminating split"
+
+
+def test_scrub_text_pii_and_sequential_semantics(ray_session):
+    """scrub_text: default PII rules redact emails/IPs/phones; counts
+    are per-rule on the text AS OF that step (sequential, matching the
+    generated SQL oracle chain), verified against DuckDB."""
+    import duckdb
+    import ray.data as rd
+
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail me at a.user+x@example.org or b@c.io now",
+            "server 10.0.0.1 and 192.168.1.255 are up, call +1 555-123-4567",
+            "clean text with no pii at all",
+            "edge: not-an-email @ nope, 999.999.999.999 still matches shape",
+        ],
+    }
+    out = (T.scrub_text(rd.from_items(
+        [dict(zip(rows, t)) for t in zip(*rows.values())]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_email"]) == [2, 0, 0, 0]
+    assert list(out["n_ipv4"]) == [0, 2, 0, 1]
+    assert list(out["n_phone"]) == [0, 1, 0, 0]
+    assert out.loc[0, "text_clean"] == "mail me at <EMAIL> or <EMAIL> now"
+    assert "<IP>" in out.loc[1, "text_clean"] and "<PHONE>" in out.loc[1, "text_clean"]
+    assert int(out["n_redacted"].sum()) == 6
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    ora = (con.sql(T.scrub_oracle_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in ["n_email", "n_ipv4", "n_phone", "text_clean", "n_redacted"]:
+        assert list(out[c]) == list(ora[c]), c
