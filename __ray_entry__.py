@@ -725,7 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_geo_spans": extract_geo_spans,
         "dedup_exact": dedup_exact,
         "dedup_exact_checkpointed": dedup_exact_checkpointed,
-        "token_stats": token_stats,
+        "embedding_neardup": embedding_neardup,
         "bpe_token_stats": bpe_token_stats,
         "jaccard_pairs": jaccard_pairs,
         "neardup_minhash": neardup_minhash,
@@ -736,7 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
-        "embedding_neardup": embedding_neardup,
+        "token_stats": token_stats,
         # -- tail: driver-verified green in BOTH r01 and r02 ----------------
         "iter_all": iter_all,
         "locate_in_envelope": locate_in_envelope,
