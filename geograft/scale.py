@@ -122,23 +122,26 @@ def shuffle_buckets(*dss, n_bytes: int | None = None,
     dataset(s) (a join passes both sides; their estimates sum).
 
     count = clamp(ceil(input_bytes / target_bytes),
-                  floor = max(8 * cluster CPUs, 64), MAX_BUCKETS)
+                  floor = max(2 * cluster CPUs, 64), MAX_BUCKETS)
 
     The memory target only bounds bucket SIZE (an upper bound, i.e. a
     lower bound on count). The floor is a WORK-BALANCE bound: buckets
     are reduce tasks, and coarse granularity starves the cluster —
     measured on the 200k-doc jaccard suite input at 8 CPUs, 16 buckets
-    ran 2.4x slower than 64 (155 s vs 65 s; 256 was within noise of
-    64) because per-bucket pandas merges superlinearize and stragglers
-    idle the other slots. ~8 tasks per core keeps slots busy; extra
-    buckets are nearly free until per-task overhead dominates.
+    ran 2.4x slower than 64 (155 s vs 65 s) because per-bucket pandas
+    merges superlinearize and stragglers idle the other slots. The
+    floor is also NOT proportional to CPUs beyond 2x: an 8x multiplier
+    put 256 buckets under the sf0.1 bench at 32 CPUs and per-task sort
+    overhead regressed the 12-pipeline total 14.8 s -> 24.2 s (256 was
+    already within noise of 64 at suite scale, so extra granularity
+    buys nothing the data-size term doesn't).
 
     Callers capture the returned count ONCE at pipeline-build time so
     the map_batches bucket-id closures and the downstream groupby agree.
     Pass ``n_bytes`` to override the estimate (e.g. from a manifest).
     """
     if floor is None:
-        floor = max(8 * cluster_cpus(), 64)
+        floor = max(2 * cluster_cpus(), 64)
     if n_bytes is None:
         total = 0
         found = False
