@@ -253,15 +253,86 @@ def _plan_knn_routes(qid, qc, plo, pup, counts, total, k):
 
 
 
-def knn_on_index(index_path: str, queries: pa.Table, k: int):
-    """Shuffle-free exact kNN over a BUILT index: plan on the manifest
-    (same proven bounds as ops.indexed_knn), read ONLY candidate cell
-    files (partitions are cell-pure, so no exchange is needed), answer
-    each cell's routed queries with chunked row-major matrices inside
-    stateless map_batches tasks, merge top-k on the driver.
+def _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=None):
+    """One chunked, threaded pass over the (query x partition) min-dist
+    matrix. ``dk2 is None`` -> SEED routes: per query, partitions in
+    ascending min-dist order until their cumulative count reaches k
+    (usually just the home cell). ``dk2`` given -> REFINE routes:
+    partitions with mind2 <= dk2[q] (inclusive — equal-distance ties in
+    other cells must compete on the id tie-break) EXCLUDING the seed
+    prefix, which is recomputed deterministically from the same inputs."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    This is the build-once/query-many fast path: per query batch the
-    only data movement is the pruned partition read."""
+    d = qc.shape[1]
+    kk = min(k, max(int(counts.sum()), 1))
+
+    def plan_chunk(sl):
+        mind2 = np.zeros((sl.stop - sl.start, plo.shape[0]))
+        for ax in range(d):
+            ca = qc[sl, ax][:, None]
+            da = np.clip(ca, plo[None, :, ax], pup[None, :, ax]) - ca
+            mind2 += da * da
+        order = np.argsort(mind2, axis=1, kind="stable")
+        csum = np.cumsum(counts[order], axis=1)
+        first_ge = np.argmax(csum >= kk, axis=1)
+        col = np.arange(plo.shape[0])[None, :]
+        if dk2 is None:
+            mask = col <= first_ge[:, None]
+        else:
+            m_ord = np.take_along_axis(mind2, order, axis=1)
+            mask = (m_ord <= dk2[sl][:, None]) & (col > first_ge[:, None])
+        ci, oi = np.nonzero(mask)
+        return ci + sl.start, order[ci, oi]
+
+    slices = [slice(s, min(s + 2048, qc.shape[0]))
+              for s in range(0, qc.shape[0], 2048)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        parts = list(pool.map(plan_chunk, slices))
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
+
+
+def _kth_dist_per_qid(qid_rows, d2_rows, all_qids, k):
+    """Exact per-query kth smallest distance from pass-1 rows (an upper
+    bound on the true kth-NN distance); +inf where a query got fewer
+    than k rows (undersized / tombstone-thinned seed)."""
+    from .ops import _topk_per_qid
+
+    dk2 = np.full(len(all_qids), np.inf)
+    if len(qid_rows) == 0:
+        return dk2
+    keep = _topk_per_qid(qid_rows, np.zeros(len(qid_rows), dtype=np.int64),
+                         d2_rows, k)
+    kq, kd = qid_rows[keep], d2_rows[keep]  # qid-grouped, d2-ascending
+    n = len(kq)
+    last = np.nonzero(np.concatenate([kq[1:] != kq[:-1], [True]]))[0]
+    first = np.concatenate([[0], last[:-1] + 1])
+    got_k = (last - first + 1) >= k
+    pos = np.searchsorted(all_qids, kq[last])
+    ok = (pos < len(all_qids))
+    sel = ok & (all_qids[np.minimum(pos, len(all_qids) - 1)] == kq[last]) & got_k
+    dk2[pos[sel]] = kd[last[sel]]
+    return dk2
+
+
+def knn_on_index(index_path: str, queries: pa.Table, k: int):
+    """Shuffle-free exact kNN over a BUILT index, in two planned passes:
+
+    1. SEED — each query routes to its nearest partitions until their
+       cumulative count reaches k (usually exactly its home cell); the
+       pass returns an exact per-query kth distance dk2.
+    2. REFINE — only partitions with min-dist <= dk2 (beyond the seed
+       prefix) are visited. Most interior queries need none; edge
+       queries add a neighbor or two.
+
+    vs the one-pass max-corner bound (ops.indexed_knn's planner) this
+    cuts routed (query, partition) pairs ~8x at 256 partitions / k=10 —
+    the bound there is the home cell's far corner, which admits every
+    neighbor. Partitions are cell-pure, so no exchange is needed in
+    either pass; the only data movement is the pruned partition read.
+    This is the build-once/query-many fast path."""
     import ray
     import ray.data as rd
 
@@ -276,28 +347,45 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
     qid = queries.column("qid").to_numpy()
     qx = queries.column("x").to_numpy()
     qy = queries.column("y").to_numpy()
-    qi, pi = _plan_knn_routes(qid, np.stack([qx, qy], axis=1), plo, pup,
-                              counts, total, k)
+    qc = np.stack([qx, qy], axis=1)
 
-    # broadcast: FLAT arrays sorted by cell (zero-copy plasma reads; a
-    # dict of many small per-cell arrays would be re-pickled per task)
-    r_cells = cids[pi]
-    order = np.argsort(r_cells, kind="stable")
-    rref = ray.put(
-        {
-            "cells": np.ascontiguousarray(r_cells[order]),
-            "qid": np.ascontiguousarray(qid[qi][order]),
-            "x": np.ascontiguousarray(qx[qi][order]),
-            "y": np.ascontiguousarray(qy[qi][order]),
-        }
-    )
-    touched = sorted(set(np.unique(r_cells).tolist()))
-    if not touched:
-        import pandas as pd
+    def run_pass(qi, pi) -> list:
+        """Execute one routed pass; returns non-empty candidate blocks
+        (qid, id, dist2) with k best per (query, visited partition)."""
+        if len(qi) == 0:
+            return []
+        # broadcast: FLAT arrays sorted by cell (zero-copy plasma
+        # reads; a dict of many small per-cell arrays would be
+        # re-pickled per task)
+        r_cells = cids[pi]
+        order = np.argsort(r_cells, kind="stable")
+        rref = ray.put(
+            {
+                "cells": np.ascontiguousarray(r_cells[order]),
+                "qid": np.ascontiguousarray(qid[qi][order]),
+                "x": np.ascontiguousarray(qx[qi][order]),
+                "y": np.ascontiguousarray(qy[qi][order]),
+            }
+        )
+        touched = sorted(set(np.unique(r_cells).tolist()))
+        if not touched:
+            return []
+        ds = rd.read_parquet(
+            [files[c] for c in touched],
+            columns=["id", "cell_id", "minx", "miny", "maxx", "maxy"],
+            # bundle small per-cell files into fewer read tasks;
+            # cell_knn handles multi-cell batches
+            override_num_blocks=min(64, len(touched)),
+        )
+        ds = filter_tombstones(ds, load_tombstones(index_path, man))
+        cand = ds.map_batches(_mk_cell_knn(rref, k), batch_format="pyarrow",
+                              batch_size=None)
+        return [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
 
-        return pd.DataFrame({"qid": [], "id": [], "dist2": []})
+    def _mk_cell_knn(rref, k):
+        return lambda batch: cell_knn(batch, rref)
 
-    def cell_knn(batch: pa.Table, rref=rref) -> pa.Table:
+    def cell_knn(batch: pa.Table, rref) -> pa.Table:
         rt = ray.get(rref)
         cells = batch.column("cell_id").to_numpy()
         lo0 = batch.column("minx").to_numpy()
@@ -345,18 +433,25 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
 
     from .pipeline import filter_tombstones, load_tombstones
 
-    ds = rd.read_parquet(
-        [files[c] for c in touched],
-        columns=["id", "cell_id", "minx", "miny", "maxx", "maxy"],
-        # bundle small per-cell files into fewer read tasks; cell_knn
-        # handles multi-cell batches
-        override_num_blocks=min(64, len(touched)),
-    )
-    ds = filter_tombstones(ds, load_tombstones(index_path, man))
-    cand = ds.map_batches(cell_knn, batch_format="pyarrow", batch_size=None)
     import pandas as pd
 
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    # pass 1: seed (nearest partitions covering >= k rows per query)
+    qi, pi = _plan_knn_seed_refine(qc, plo, pup, counts, k)
+    blocks = run_pass(qi, pi)
+    # pass 2: refine — only partitions provably able to beat the seed
+    # pass's exact kth distance (qids sorted for the searchsorted map)
+    qsort = np.argsort(qid, kind="stable")
+    if blocks:
+        p1 = pa.concat_tables(blocks)
+        dk2_sorted = _kth_dist_per_qid(p1.column("qid").to_numpy(),
+                                       p1.column("dist2").to_numpy(),
+                                       qid[qsort], k)
+        dk2 = np.empty_like(dk2_sorted)
+        dk2[qsort] = dk2_sorted
+    else:
+        dk2 = np.full(len(qid), np.inf)
+    qi2, pi2 = _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=dk2)
+    blocks += run_pass(qi2, pi2)
     if not blocks:
         return pd.DataFrame({"qid": [], "id": [], "dist2": []})
     tbl = pa.concat_tables(blocks)

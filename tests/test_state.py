@@ -143,3 +143,44 @@ def test_partition_cache_loads_once(built_index):
     out2 = pq_actor(batch)
     assert pq_actor.loads == 1, "tree cached across batches"
     assert out1.num_rows == out2.num_rows == 2 * p["rows"]
+
+
+def test_knn_seed_refine_boundary_and_ties(ray_session, tmp_path):
+    """Seed+refine planner exactness where it can actually fail: the
+    true kNN set spans a partition border (refine pass must fire) and
+    an equal-distance tie sits in a NEIGHBOR cell (dk2 comparison must
+    be inclusive so the id tie-break can displace a seed-cell row)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geograft import grid as G
+    from geograft import ops, pipeline
+
+    # 4x4 grid over [0,16]^2; dense cluster just LEFT of the x=4.0
+    # border, query just RIGHT of it, plus an exact-distance tie pair
+    xs = np.concatenate([np.full(20, 3.9), [4.3], [4.7]])
+    ys = np.concatenate([np.linspace(0.5, 3.5, 20), [1.0], [2.0]])
+    ids = np.arange(len(xs), dtype=np.int64)
+    ds = rd.from_arrow(__import__("pyarrow").table(
+        {"id": ids, "x": xs, "y": ys,
+         "minx": xs, "miny": ys, "maxx": xs, "maxy": ys}))
+    bounds = G.Bounds(0.0, 0.0, 16.0, 16.0)
+    path = str(tmp_path / "idx")
+    pipeline.build_partitioned_index(ds, path, base_level=2, bounds=bounds,
+                                     target_rows=1000)
+    # qid 0 sits 0.2 right of the border with its 5-NN set in the LEFT
+    # cell; qid 1 is equidistant (0.2^2 + 0.5^2) from ids 20 and 21
+    q = pa.table({"qid": np.array([0, 1]),
+                  "x": np.array([4.1, 4.5]),
+                  "y": np.array([2.0, 1.5])})
+    got = state.knn_on_index(path, q, k=5)
+    want = ops.knn(ds, q, k=5)
+    assert got[["qid", "id"]].reset_index(drop=True).equals(
+        want[["qid", "id"]].reset_index(drop=True))
+    np.testing.assert_array_equal(got["dist2"].to_numpy(),
+                                  want["dist2"].to_numpy())
+    # the border query's answer must include left-cell points (i.e. the
+    # refine pass genuinely crossed the partition border)
+    q0 = got[got["qid"] == 0]
+    assert (np.abs(3.9 - 4.1) ** 2 <= q0["dist2"].max() + 1e-12)
+    assert set(q0["id"]).intersection(set(range(20)))
