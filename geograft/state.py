@@ -212,47 +212,6 @@ def query_index_within_distance(index_path: str, discs: pa.Table,
     return _serve_routed(index_path, routed, concurrency)
 
 
-def _plan_knn_routes(qid, qc, plo, pup, counts, total, k):
-    """Chunked + threaded planning (pure numpy releases the GIL): for
-    each query, the proven candidate-partition set (same bound
-    derivation as ops.indexed_knn). ``qc`` is (nq, d); dimension-generic
-    like the reference's distance bounds (rstar/src/aabb.rs:158-198)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    d = qc.shape[1]
-
-    def plan_chunk(sl):
-        mind2 = np.zeros((sl.stop - sl.start, plo.shape[0]))
-        maxd2 = np.zeros_like(mind2)
-        for ax in range(d):
-            ca = qc[sl, ax][:, None]
-            da = np.clip(ca, plo[None, :, ax], pup[None, :, ax]) - ca
-            mind2 += da * da
-            fa = np.maximum(np.abs(ca - plo[None, :, ax]), np.abs(ca - pup[None, :, ax]))
-            maxd2 += fa * fa
-        order = np.argsort(mind2, axis=1, kind="stable")
-        csum = np.cumsum(counts[order], axis=1)
-        if total <= k:
-            ub = np.full(mind2.shape[0], np.inf)
-        else:
-            first_ge = np.argmax(csum >= min(k, total), axis=1)
-            prefix_max = np.maximum.accumulate(
-                np.take_along_axis(maxd2, order, axis=1), axis=1
-            )
-            ub = prefix_max[np.arange(mind2.shape[0]), first_ge]
-        ci, pi_ = np.nonzero(mind2 <= ub[:, None])
-        return ci + sl.start, pi_
-
-    slices = [slice(s, min(s + 2048, len(qid))) for s in range(0, len(qid), 2048)]
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        parts = list(pool.map(plan_chunk, slices))
-    if not parts:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return (np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]))
-
-
-
 def _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=None):
     """One chunked, threaded pass over the (query x partition) min-dist
     matrix. ``dk2 is None`` -> SEED routes: per query, partitions in
@@ -606,22 +565,32 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
     qid = queries.column("qid").to_numpy()
     qc = np.stack([queries.column(c).to_numpy().astype(np.float64) for c in axes],
                   axis=1)
-    qi, pi = _plan_knn_routes(qid, qc, plo, pup, counts, total, k)
 
-    r_cells = cids[pi]
-    order = np.argsort(r_cells, kind="stable")
-    rref = ray.put(
-        {
-            "cells": np.ascontiguousarray(r_cells[order]),
-            "qid": np.ascontiguousarray(qid[qi][order]),
-            "qc": np.ascontiguousarray(qc[qi][order]),
-        }
-    )
-    touched = sorted(set(np.unique(r_cells).tolist()))
-    if not touched:
-        return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
+    def run_pass(qi, pi) -> list:
+        if len(qi) == 0:
+            return []
+        r_cells = cids[pi]
+        order = np.argsort(r_cells, kind="stable")
+        rref = ray.put(
+            {
+                "cells": np.ascontiguousarray(r_cells[order]),
+                "qid": np.ascontiguousarray(qid[qi][order]),
+                "qc": np.ascontiguousarray(qc[qi][order]),
+            }
+        )
+        touched = sorted(set(np.unique(r_cells).tolist()))
+        if not touched:
+            return []
+        ds = rd.read_parquet(
+            [files[c] for c in touched],
+            columns=[id_col, "cell_id", *axes],
+            override_num_blocks=min(64, len(touched)),
+        )
+        cand = ds.map_batches(lambda b, r=rref: cell_knn(b, r),
+                              batch_format="pyarrow", batch_size=None)
+        return [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
 
-    def cell_knn(batch: pa.Table, rref=rref) -> pa.Table:
+    def cell_knn(batch: pa.Table, rref) -> pa.Table:
         rt = ray.get(rref)
         cells = batch.column("cell_id").to_numpy()
         pts = np.stack([batch.column(c).to_numpy().astype(np.float64) for c in axes],
@@ -664,13 +633,22 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
                          id_col: np.concatenate(out_i),
                          "dist2": np.concatenate(out_d)})
 
-    ds = rd.read_parquet(
-        [files[c] for c in touched],
-        columns=[id_col, "cell_id", *axes],
-        override_num_blocks=min(64, len(touched)),
-    )
-    cand = ds.map_batches(cell_knn, batch_format="pyarrow", batch_size=None)
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    # seed + refine, same two-pass protocol as the 2-d knn_on_index
+    # (_plan_knn_seed_refine is dimension-generic over qc's axes)
+    qi, pi = _plan_knn_seed_refine(qc, plo, pup, counts, k)
+    blocks = run_pass(qi, pi)
+    qsort = np.argsort(qid, kind="stable")
+    if blocks:
+        p1 = pa.concat_tables(blocks)
+        dk2_sorted = _kth_dist_per_qid(p1.column("qid").to_numpy(),
+                                       p1.column("dist2").to_numpy(),
+                                       qid[qsort], k)
+        dk2 = np.empty_like(dk2_sorted)
+        dk2[qsort] = dk2_sorted
+    else:
+        dk2 = np.full(len(qid), np.inf)
+    qi2, pi2 = _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=dk2)
+    blocks += run_pass(qi2, pi2)
     if not blocks:
         return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
     tbl = pa.concat_tables(blocks)
