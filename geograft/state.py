@@ -276,6 +276,84 @@ def _kth_dist_per_qid(qid_rows, d2_rows, all_qids, k):
     return dk2
 
 
+def _cell_knn_2d(batch: pa.Table, rt: dict, k: int) -> pa.Table:
+    """Per-file-group kNN kernel: answer every routed query of every
+    cell present in ``batch`` (clamped envelope distance — rows may be
+    rects), k best per (query, cell), deterministic (d2, id) ties."""
+    from .ops import _topk_cols_per_row
+
+    cells = batch.column("cell_id").to_numpy()
+    lo0 = batch.column("minx").to_numpy()
+    lo1 = batch.column("miny").to_numpy()
+    up0 = batch.column("maxx").to_numpy()
+    up1 = batch.column("maxy").to_numpy()
+    ids = batch.column("id").to_numpy()
+    out_q, out_i, out_d = [], [], []
+    ordr = np.argsort(cells, kind="stable")
+    cs = cells[ordr]
+    bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+    for gi in range(len(bnd) - 1):
+        rows = ordr[bnd[gi] : bnd[gi + 1]]
+        cell = int(cs[bnd[gi]])
+        s0 = np.searchsorted(rt["cells"], cell, side="left")
+        s1 = np.searchsorted(rt["cells"], cell, side="right")
+        if s1 == s0:
+            continue
+        # ascending-id columns => deterministic (d2, id) ties
+        io = np.argsort(ids[rows], kind="stable")
+        rows = rows[io]
+        gqid = rt["qid"][s0:s1]
+        gqx = rt["x"][s0:s1]
+        gqy = rt["y"][s0:s1]
+        kk = min(k, len(rows))
+        for s in range(0, len(gqid), 64):
+            sqx = gqx[s : s + 64][:, None]
+            sqy = gqy[s : s + 64][:, None]
+            ddx = np.clip(sqx, lo0[rows][None, :], up0[rows][None, :]) - sqx
+            ddy = np.clip(sqy, lo1[rows][None, :], up1[rows][None, :]) - sqy
+            d2 = ddx * ddx + ddy * ddy
+            part = _topk_cols_per_row(d2, kk)
+            out_q.append(np.repeat(gqid[s : s + 64], kk))
+            out_i.append(ids[rows][part].ravel())
+            out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
+    if not out_q:
+        return pa.table({"qid": pa.array([], type=pa.int64()),
+                         "id": pa.array([], type=pa.int64()),
+                         "dist2": pa.array([], type=pa.float64())})
+    return pa.table({"qid": np.concatenate(out_q),
+                     "id": np.concatenate(out_i),
+                     "dist2": np.concatenate(out_d)})
+
+
+def _knn_file_task(paths: list, rt: dict, k: int, dels: dict) -> pa.Table:
+    """Ray task: read a group of partition files, drop tombstoned rows,
+    run the kNN kernel. One task per file group — no streaming-executor
+    round for small indexes."""
+    t = pa.concat_tables([
+        pq.read_table(p, columns=["id", "cell_id", "minx", "miny",
+                                  "maxx", "maxy"]) for p in paths])
+    if dels:
+        cells = t.column("cell_id").to_numpy()
+        ids = t.column("id").to_numpy()
+        keep = np.ones(len(t), dtype=bool)
+        for cid in np.unique(cells):
+            d = dels.get(int(cid))
+            if d is not None:
+                m = cells == cid
+                keep[m] = ~np.isin(ids[m], d)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+    return _cell_knn_2d(t, rt, k)
+
+
+# task handle cache (ray.remote() re-exports the function per call)
+_KNN_TASK = None
+# above this many touched files a pass uses the streaming Dataset path:
+# the raw-task path holds one ref per file group on the driver and reads
+# without backpressure, which is only safe when everything fits
+KNN_DIRECT_MAX_FILES = 2048
+
+
 def knn_on_index(index_path: str, queries: pa.Table, k: int):
     """Shuffle-free exact kNN over a BUILT index, in two planned passes:
 
@@ -308,6 +386,11 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
     qy = queries.column("y").to_numpy()
     qc = np.stack([qx, qy], axis=1)
 
+    from .pipeline import filter_tombstones, load_tombstones
+    from .scale import cluster_cpus
+
+    dels = load_tombstones(index_path, man)
+
     def run_pass(qi, pi) -> list:
         """Execute one routed pass; returns non-empty candidate blocks
         (qid, id, dist2) with k best per (query, visited partition)."""
@@ -318,79 +401,42 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
         # re-pickled per task)
         r_cells = cids[pi]
         order = np.argsort(r_cells, kind="stable")
-        rref = ray.put(
-            {
-                "cells": np.ascontiguousarray(r_cells[order]),
-                "qid": np.ascontiguousarray(qid[qi][order]),
-                "x": np.ascontiguousarray(qx[qi][order]),
-                "y": np.ascontiguousarray(qy[qi][order]),
-            }
-        )
+        rt = {
+            "cells": np.ascontiguousarray(r_cells[order]),
+            "qid": np.ascontiguousarray(qid[qi][order]),
+            "x": np.ascontiguousarray(qx[qi][order]),
+            "y": np.ascontiguousarray(qy[qi][order]),
+        }
         touched = sorted(set(np.unique(r_cells).tolist()))
         if not touched:
             return []
+        if len(touched) <= KNN_DIRECT_MAX_FILES:
+            # raw-task path: one task per file group, no
+            # streaming-executor round (its fixed latency is the whole
+            # cost at this scale). Routes are broadcast once.
+            global _KNN_TASK
+            if _KNN_TASK is None:
+                _KNN_TASK = ray.remote(_knn_file_task)
+            rref = ray.put(rt)
+            paths = [files[c] for c in touched]
+            ngrp = min(len(paths), 4 * cluster_cpus())
+            groups = [paths[i::ngrp] for i in range(ngrp)]
+            out = ray.get([_KNN_TASK.remote(g, rref, k, dels)
+                           for g in groups if g])
+            return [t for t in out if t.num_rows > 0]
+        rref = ray.put(rt)
         ds = rd.read_parquet(
             [files[c] for c in touched],
             columns=["id", "cell_id", "minx", "miny", "maxx", "maxy"],
-            # bundle small per-cell files into fewer read tasks;
-            # cell_knn handles multi-cell batches
+            # bundle small per-cell files into fewer read tasks; the
+            # kernel handles multi-cell batches
             override_num_blocks=min(64, len(touched)),
         )
-        ds = filter_tombstones(ds, load_tombstones(index_path, man))
-        cand = ds.map_batches(_mk_cell_knn(rref, k), batch_format="pyarrow",
-                              batch_size=None)
+        ds = filter_tombstones(ds, dels)
+        cand = ds.map_batches(
+            lambda b, r=rref: _cell_knn_2d(b, ray.get(r), k),
+            batch_format="pyarrow", batch_size=None)
         return [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
-
-    def _mk_cell_knn(rref, k):
-        return lambda batch: cell_knn(batch, rref)
-
-    def cell_knn(batch: pa.Table, rref) -> pa.Table:
-        rt = ray.get(rref)
-        cells = batch.column("cell_id").to_numpy()
-        lo0 = batch.column("minx").to_numpy()
-        lo1 = batch.column("miny").to_numpy()
-        up0 = batch.column("maxx").to_numpy()
-        up1 = batch.column("maxy").to_numpy()
-        ids = batch.column("id").to_numpy()
-        out_q, out_i, out_d = [], [], []
-        ordr = np.argsort(cells, kind="stable")
-        cs = cells[ordr]
-        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
-        from .ops import _topk_cols_per_row
-
-        for gi in range(len(bnd) - 1):
-            rows = ordr[bnd[gi] : bnd[gi + 1]]
-            cell = int(cs[bnd[gi]])
-            s0 = np.searchsorted(rt["cells"], cell, side="left")
-            s1 = np.searchsorted(rt["cells"], cell, side="right")
-            if s1 == s0:
-                continue
-            # ascending-id columns => deterministic (d2, id) ties
-            io = np.argsort(ids[rows], kind="stable")
-            rows = rows[io]
-            gqid = rt["qid"][s0:s1]
-            gqx = rt["x"][s0:s1]
-            gqy = rt["y"][s0:s1]
-            kk = min(k, len(rows))
-            for s in range(0, len(gqid), 64):
-                sqx = gqx[s : s + 64][:, None]
-                sqy = gqy[s : s + 64][:, None]
-                ddx = np.clip(sqx, lo0[rows][None, :], up0[rows][None, :]) - sqx
-                ddy = np.clip(sqy, lo1[rows][None, :], up1[rows][None, :]) - sqy
-                d2 = ddx * ddx + ddy * ddy
-                part = _topk_cols_per_row(d2, kk)
-                out_q.append(np.repeat(gqid[s : s + 64], kk))
-                out_i.append(ids[rows][part].ravel())
-                out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
-        if not out_q:
-            return pa.table({"qid": pa.array([], type=pa.int64()),
-                             "id": pa.array([], type=pa.int64()),
-                             "dist2": pa.array([], type=pa.float64())})
-        return pa.table({"qid": np.concatenate(out_q),
-                         "id": np.concatenate(out_i),
-                         "dist2": np.concatenate(out_d)})
-
-    from .pipeline import filter_tombstones, load_tombstones
 
     import pandas as pd
 
