@@ -577,6 +577,66 @@ def knn_index_batch(index_path: str, queries: pa.Table, k: int,
     keep = keep[order2]
     return pd.DataFrame({"qid": g_qid[keep], "id": g_ids[keep], "dist2": g_d2[keep]})
 
+def _cell_knn_nd(batch: pa.Table, rt: dict, k: int, axes: list,
+                 id_col: str) -> pa.Table:
+    """Dimension-generic per-file-group kNN kernel (true point
+    distances over the manifest axes)."""
+    from .ops import _topk_cols_per_row
+
+    d = len(axes)
+    cells = batch.column("cell_id").to_numpy()
+    pts = np.stack([batch.column(c).to_numpy().astype(np.float64)
+                    for c in axes], axis=1)
+    ids = batch.column(id_col).to_numpy()
+    out_q, out_i, out_d = [], [], []
+    ordr = np.argsort(cells, kind="stable")
+    cs = cells[ordr]
+    bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+    for gi in range(len(bnd) - 1):
+        rows = ordr[bnd[gi] : bnd[gi + 1]]
+        cell = int(cs[bnd[gi]])
+        s0 = np.searchsorted(rt["cells"], cell, side="left")
+        s1 = np.searchsorted(rt["cells"], cell, side="right")
+        if s1 == s0:
+            continue
+        # ascending-id rows => deterministic (d2, id) ties
+        io = np.argsort(ids[rows], kind="stable")
+        rows = rows[io]
+        gids = ids[rows]
+        gpts = pts[rows]
+        gqid = rt["qid"][s0:s1]
+        gqc = rt["qc"][s0:s1]
+        kk = min(k, len(rows))
+        for s in range(0, len(gqid), 64):
+            sq = gqc[s : s + 64]
+            d2 = np.zeros((len(sq), len(rows)))
+            for ax in range(d):
+                da = sq[:, ax][:, None] - gpts[:, ax][None, :]
+                d2 += da * da
+            part = _topk_cols_per_row(d2, kk)
+            out_q.append(np.repeat(gqid[s : s + 64], kk))
+            out_i.append(gids[part].ravel())
+            out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
+    if not out_q:
+        return pa.table({"qid": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "dist2": pa.array([], type=pa.float64())})
+    return pa.table({"qid": np.concatenate(out_q),
+                     id_col: np.concatenate(out_i),
+                     "dist2": np.concatenate(out_d)})
+
+
+def _knn_file_task_nd(paths: list, rt: dict, k: int, axes: list,
+                      id_col: str) -> pa.Table:
+    """Ray task: read a file group of the n-d index, run the kernel."""
+    t = pa.concat_tables([
+        pq.read_table(p, columns=[id_col, "cell_id", *axes]) for p in paths])
+    return _cell_knn_nd(t, rt, k, axes, id_col)
+
+
+_KNN_TASK_ND = None
+
+
 def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
                     id_col: str = "id"):
     """Shuffle-free exact kNN against a BUILT n-d index (the
@@ -617,67 +677,37 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
             return []
         r_cells = cids[pi]
         order = np.argsort(r_cells, kind="stable")
-        rref = ray.put(
-            {
-                "cells": np.ascontiguousarray(r_cells[order]),
-                "qid": np.ascontiguousarray(qid[qi][order]),
-                "qc": np.ascontiguousarray(qc[qi][order]),
-            }
-        )
+        rt = {
+            "cells": np.ascontiguousarray(r_cells[order]),
+            "qid": np.ascontiguousarray(qid[qi][order]),
+            "qc": np.ascontiguousarray(qc[qi][order]),
+        }
         touched = sorted(set(np.unique(r_cells).tolist()))
         if not touched:
             return []
+        rref = ray.put(rt)
+        if len(touched) <= KNN_DIRECT_MAX_FILES:
+            # raw-task path, one task per file group (see knn_on_index)
+            global _KNN_TASK_ND
+            if _KNN_TASK_ND is None:
+                _KNN_TASK_ND = ray.remote(_knn_file_task_nd)
+            from .scale import cluster_cpus
+
+            paths = [files[c] for c in touched]
+            ngrp = min(len(paths), 4 * cluster_cpus())
+            groups = [paths[i::ngrp] for i in range(ngrp)]
+            out = ray.get([_KNN_TASK_ND.remote(g, rref, k, axes, id_col)
+                           for g in groups if g])
+            return [t for t in out if t.num_rows > 0]
         ds = rd.read_parquet(
             [files[c] for c in touched],
             columns=[id_col, "cell_id", *axes],
             override_num_blocks=min(64, len(touched)),
         )
-        cand = ds.map_batches(lambda b, r=rref: cell_knn(b, r),
-                              batch_format="pyarrow", batch_size=None)
+        cand = ds.map_batches(
+            lambda b, r=rref: _cell_knn_nd(b, ray.get(r), k, axes, id_col),
+            batch_format="pyarrow", batch_size=None)
         return [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
-
-    def cell_knn(batch: pa.Table, rref) -> pa.Table:
-        rt = ray.get(rref)
-        cells = batch.column("cell_id").to_numpy()
-        pts = np.stack([batch.column(c).to_numpy().astype(np.float64) for c in axes],
-                       axis=1)
-        ids = batch.column(id_col).to_numpy()
-        out_q, out_i, out_d = [], [], []
-        ordr = np.argsort(cells, kind="stable")
-        cs = cells[ordr]
-        bnd = np.concatenate([[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
-        for gi in range(len(bnd) - 1):
-            rows = ordr[bnd[gi] : bnd[gi + 1]]
-            cell = int(cs[bnd[gi]])
-            s0 = np.searchsorted(rt["cells"], cell, side="left")
-            s1 = np.searchsorted(rt["cells"], cell, side="right")
-            if s1 == s0:
-                continue
-            # ascending-id rows => deterministic (d2, id) ties
-            io = np.argsort(ids[rows], kind="stable")
-            rows = rows[io]
-            gids = ids[rows]
-            gpts = pts[rows]
-            gqid = rt["qid"][s0:s1]
-            gqc = rt["qc"][s0:s1]
-            kk = min(k, len(rows))
-            for s in range(0, len(gqid), 64):
-                sq = gqc[s : s + 64]
-                d2 = np.zeros((len(sq), len(rows)))
-                for ax in range(d):
-                    da = sq[:, ax][:, None] - gpts[:, ax][None, :]
-                    d2 += da * da
-                part = _topk_cols_per_row(d2, kk)
-                out_q.append(np.repeat(gqid[s : s + 64], kk))
-                out_i.append(gids[part].ravel())
-                out_d.append(np.take_along_axis(d2, part, axis=1).ravel())
-        if not out_q:
-            return pa.table({"qid": pa.array([], type=pa.int64()),
-                             id_col: pa.array([], type=pa.int64()),
-                             "dist2": pa.array([], type=pa.float64())})
-        return pa.table({"qid": np.concatenate(out_q),
-                         id_col: np.concatenate(out_i),
-                         "dist2": np.concatenate(out_d)})
 
     # seed + refine, same two-pass protocol as the 2-d knn_on_index
     # (_plan_knn_seed_refine is dimension-generic over qc's axes)
