@@ -219,29 +219,77 @@ def _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=None):
     (usually just the home cell). ``dk2`` given -> REFINE routes:
     partitions with mind2 <= dk2[q] (inclusive — equal-distance ties in
     other cells must compete on the id tie-break) EXCLUDING the seed
-    prefix, which is recomputed deterministically from the same inputs."""
+    set, which is recomputed deterministically from the same inputs.
+
+    The seed is found with argpartition over an escalating window (8 ->
+    x4 ...) instead of a full per-query argsort of every partition —
+    the full sort made planning cost grow with PARTITION COUNT (2.5 s
+    per call at 958 partitions x 20k queries; worse at 3k) when only
+    the nearest handful matter. Seed membership does not need a global
+    tie order: any prefix covering k rows yields a valid exact dk2, and
+    both passes recompute the identical selection from identical
+    inputs."""
     from concurrent.futures import ThreadPoolExecutor
 
     d = qc.shape[1]
+    m = plo.shape[0]
     kk = min(k, max(int(counts.sum()), 1))
+    # float32 planning: the (query x partition) matrix is memory-traffic
+    # bound (it dominated planning at 3k partitions); float32 halves it.
+    # Seed selection needs no exactness (any cover of k rows yields a
+    # valid exact dk2); the refine radius test is made SOUND under f32
+    # rounding by widening the radius with an ABSOLUTE margin scaled to
+    # coordinate magnitude: err(clip-ca) <= ~eps32*C per axis, so
+    # err(d2) <= (sqrt(d2) + d*eps32*C)^2 - d2. A relative margin alone
+    # would be unsound when dk2 << C^2. Widening only ever ADMITS extra
+    # partitions — the kernel decides with exact f64 distances.
+    _C = float(max(np.abs(plo).max(initial=0.0), np.abs(pup).max(initial=0.0),
+                   np.abs(qc).max(initial=0.0), 1.0))
+    _ERRC = 8.0 * float(np.finfo(np.float32).eps) * _C * d
+    plo32 = plo.astype(np.float32)
+    pup32 = pup.astype(np.float32)
+    qc32 = qc.astype(np.float32)
 
     def plan_chunk(sl):
-        mind2 = np.zeros((sl.stop - sl.start, plo.shape[0]))
+        nq = sl.stop - sl.start
+        mind2 = np.zeros((nq, m), dtype=np.float32)
+        buf = np.empty((nq, m), dtype=np.float32)
         for ax in range(d):
-            ca = qc[sl, ax][:, None]
-            da = np.clip(ca, plo[None, :, ax], pup[None, :, ax]) - ca
-            mind2 += da * da
-        order = np.argsort(mind2, axis=1, kind="stable")
-        csum = np.cumsum(counts[order], axis=1)
+            ca = qc32[sl, ax][:, None]
+            np.clip(ca, plo32[None, :, ax], pup32[None, :, ax], out=buf)
+            buf -= ca
+            buf *= buf
+            mind2 += buf
+        P = min(8, m)
+        while True:
+            if P < m:
+                part = np.argpartition(mind2, P - 1, axis=1)[:, :P]
+            else:
+                part = np.argsort(mind2, axis=1, kind="stable")
+            sd = np.take_along_axis(mind2, part, axis=1)
+            o = np.argsort(sd, axis=1, kind="stable")
+            part = np.take_along_axis(part, o, axis=1)
+            csum = np.cumsum(counts[part], axis=1)
+            if P >= m or bool((csum[:, P - 1] >= kk).all()):
+                break
+            P = min(P * 4, m)
         first_ge = np.argmax(csum >= kk, axis=1)
-        col = np.arange(plo.shape[0])[None, :]
+        col = np.arange(part.shape[1])[None, :]
+        seed_mask = col <= first_ge[:, None]
         if dk2 is None:
-            mask = col <= first_ge[:, None]
-        else:
-            m_ord = np.take_along_axis(mind2, order, axis=1)
-            mask = (m_ord <= dk2[sl][:, None]) & (col > first_ge[:, None])
-        ci, oi = np.nonzero(mask)
-        return ci + sl.start, order[ci, oi]
+            ci, oi = np.nonzero(seed_mask)
+            return ci + sl.start, part[ci, oi]
+        # refine: full-row radius test minus the seed set (dk2 widened
+        # for f32 soundness; exact f64 distances decide in the kernel)
+        md = mind2
+        ri, oi = np.nonzero(seed_mask)
+        md[ri, part[ri, oi]] = np.inf
+        fin = np.isfinite(dk2[sl])
+        root = np.sqrt(np.maximum(dk2[sl], 0.0), where=fin,
+                       out=np.full(sl.stop - sl.start, np.inf))
+        bound = ((root + _ERRC) ** 2 * (1.0 + 1e-6)).astype(np.float32)
+        ci, pi_ = np.nonzero(md <= bound[:, None])
+        return ci + sl.start, pi_
 
     slices = [slice(s, min(s + 2048, qc.shape[0]))
               for s in range(0, qc.shape[0], 2048)]

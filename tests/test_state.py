@@ -184,3 +184,43 @@ def test_knn_seed_refine_boundary_and_ties(ray_session, tmp_path):
     q0 = got[got["qid"] == 0]
     assert (np.abs(3.9 - 4.1) ** 2 <= q0["dist2"].max() + 1e-12)
     assert set(q0["id"]).intersection(set(range(20)))
+
+
+def test_knn_refine_f32_margin_large_coords(ray_session, tmp_path):
+    """The planner's float32 radius test must stay SOUND when the true
+    kth distance is tiny relative to coordinate magnitude (f32 error in
+    mind2 is absolute, ~eps32*|coord|): nearest neighbors sit just
+    across a partition border, closer than f32 resolution at this
+    magnitude, and must still be found exactly."""
+    import ray.data as rd
+
+    from geograft import grid as G
+    from geograft import ops, pipeline
+
+    base = 1.0e6
+    # cluster around the border x=base (2x2 grid over [0, 2*base]^2):
+    # query at base+0.004, true NN at base-0.001 (other side), then
+    # filler points so each side has >= k rows
+    xs = np.concatenate([
+        [base - 0.001, base - 0.002, base + 0.01],
+        base - 1.0 - np.arange(10.0),      # left filler
+        base + 1.0 + np.arange(10.0),      # right filler
+    ])
+    ys = np.full(len(xs), 5.0)
+    ids = np.arange(len(xs), dtype=np.int64)
+    ds = rd.from_arrow(pa.table(
+        {"id": ids, "x": xs, "y": ys,
+         "minx": xs, "miny": ys, "maxx": xs, "maxy": ys}))
+    bounds = G.Bounds(0.0, 0.0, 2.0 * base, 2.0 * base)
+    path = str(tmp_path / "idx")
+    pipeline.build_partitioned_index(ds, path, base_level=1, bounds=bounds,
+                                     target_rows=1000)
+    q = pa.table({"qid": np.array([0]), "x": np.array([base + 0.004]),
+                  "y": np.array([5.0])})
+    got = state.knn_on_index(path, q, k=3)
+    want = ops.knn(ds, q, k=3)
+    assert got[["qid", "id"]].reset_index(drop=True).equals(
+        want[["qid", "id"]].reset_index(drop=True))
+    np.testing.assert_array_equal(got["dist2"].to_numpy(),
+                                  want["dist2"].to_numpy())
+    assert 0 in set(got["id"]) and 1 in set(got["id"])  # crossed the border
