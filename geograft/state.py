@@ -233,6 +233,8 @@ def _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=None):
 
     d = qc.shape[1]
     m = plo.shape[0]
+    if m == 0 or qc.shape[0] == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     kk = min(k, max(int(counts.sum()), 1))
     # float32 planning: the (query x partition) matrix is memory-traffic
     # bound (it dominated planning at 3k partitions); float32 halves it.
@@ -438,6 +440,11 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
     from .scale import cluster_cpus
 
     dels = load_tombstones(index_path, man)
+    # broadcast once: the tombstone map would otherwise re-pickle into
+    # every file-group task (import inside the fn body keeps it lazy)
+    import ray as _ray
+
+    dels_ref = _ray.put(dels) if dels else None
 
     def run_pass(qi, pi) -> list:
         """Execute one routed pass; returns non-empty candidate blocks
@@ -469,7 +476,7 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
             paths = [files[c] for c in touched]
             ngrp = min(len(paths), 4 * cluster_cpus())
             groups = [paths[i::ngrp] for i in range(ngrp)]
-            out = ray.get([_KNN_TASK.remote(g, rref, k, dels)
+            out = ray.get([_KNN_TASK.remote(g, rref, k, dels_ref)
                            for g in groups if g])
             return [t for t in out if t.num_rows > 0]
         rref = ray.put(rt)
