@@ -418,3 +418,34 @@ def test_spatial_join_payload_forwarding(ray_session):
     assert set(got) == set(want)
     for k, (tag, _) in got.items():
         assert tag == want[k][0]
+
+
+def test_direct_and_sort_exchange_equivalent(ray_session, sf_small):
+    """coarse_group_by_cell must produce identical groups through the
+    sort-free direct exchange and the streaming sort path (the byte
+    gate picks between them; both must satisfy the same co-location
+    contract)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from geograft import fixtures as FX
+    from geograft import ops
+
+    def per_bucket(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0 or "cell_id" not in t.column_names:
+            return pd.DataFrame({"cell_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = t.select(["cell_id"]).to_pandas()
+        out = df.groupby("cell_id").size().reset_index(name="n")
+        return out
+
+    keyed = FX.points_ds(sf_small).map_batches(
+        lambda b: ops.assign_owner_cells(b, 3, FX.POINTS_BOUNDS),
+        batch_format="pyarrow", batch_size=None)
+    outs = {}
+    for mode in ("direct", "sort"):
+        res = (ops.coarse_group_by_cell(keyed, per_bucket, exchange=mode)
+               .to_pandas().sort_values("cell_id").reset_index(drop=True))
+        outs[mode] = res
+    pd.testing.assert_frame_equal(outs["direct"], outs["sort"])
+    assert outs["direct"]["n"].sum() > 0
