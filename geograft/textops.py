@@ -1020,16 +1020,20 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
             pos = np.arange(len(doc_idx), dtype=np.int64) - starts[doc_idx]
             pfx = lens - np.ceil(tau * lens).astype(np.int64) + 1
             keep = pos < pfx
-            doc_idx, sh = doc_idx[keep], sh[keep]
+            doc_idx, sh, pos = doc_idx[keep], sh[keep], pos[keep]
             ids = b.column(id_col).take(pa.array(doc_idx))
-        return pa.table(
-            {
-                id_col: ids,
-                "sh": sh.astype(np.int64),
-                "sz": sizes[doc_idx].astype(np.int64),
-                "__bucket": (sh % nbu).astype(np.int64),
-            }
-        )
+        out = {
+            id_col: ids,
+            "sh": sh.astype(np.int64),
+            "sz": sizes[doc_idx].astype(np.int64),
+            "__bucket": (sh % nbu).astype(np.int64),
+        }
+        if prefix_filter and df_cap is None:
+            # position = rank of the shingle in the doc's ascending
+            # hash list; feeds the PPJoin positional filter downstream
+            out["pos"] = (pos if len(doc_idx) else
+                          np.empty(0, dtype=np.int64))
+        return pa.table(out)
 
     sh_ds = ds.map_batches(shingles, batch_format="pyarrow", batch_size=None)
 
@@ -1038,7 +1042,8 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         one shingle are co-located here, so its true document frequency
         is computable in place — the df_cap guard drops hot shingles
         BEFORE the quadratic merge."""
-        g = g[[id_col, "sh", "sz"]]
+        has_pos = "pos" in g.columns
+        g = g[[id_col, "sh", "sz", *(["pos"] if has_pos else [])]]
         if df_cap is not None:
             df = g.groupby("sh", sort=False)["sh"].transform("size")
             g = g[df <= df_cap]
@@ -1051,9 +1056,18 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         sa = m["sz_a"].to_numpy(dtype=np.float64)
         sb = m["sz_b"].to_numpy(dtype=np.float64)
         m = m[np.minimum(sa, sb) * (1.0 + 1e-12) >= tau * np.maximum(sa, sb)]
+        aggs = {"c": ("sh", "size"), "sa": ("sz_a", "first"),
+                "sb": ("sz_b", "first")}
+        if has_pos:
+            # per-pair max matched-prefix positions (positions are hash
+            # ranks, so the max-hash counted common holds the max
+            # position in BOTH docs — these maxes feed a sound PPJoin
+            # positional bound in cand_filter)
+            aggs["mpa"] = ("pos_a", "max")
+            aggs["mpb"] = ("pos_b", "max")
         out = (
             m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)
-            .agg(c=("sh", "size"), sa=("sz_a", "first"), sb=("sz_b", "first"))
+            .agg(**aggs)
             .reset_index()
         )
         out = out.rename(columns={f"{id_col}_a": "a", f"{id_col}_b": "b"})
@@ -1067,9 +1081,12 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
     # vectorized pandas groupby-sum per partition (Ray's multi-key
     # aggregate is per-key Python — avoid it)
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["a", "b"], sort=False).agg(
-            c=("c", "sum"), sa=("sa", "first"), sb=("sb", "first")
-        ).reset_index()
+        aggs = {"c": ("c", "sum"), "sa": ("sa", "first"),
+                "sb": ("sb", "first")}
+        if "mpa" in g.columns:
+            aggs["mpa"] = ("mpa", "max")
+            aggs["mpb"] = ("mpb", "max")
+        out = g.groupby(["a", "b"], sort=False).agg(**aggs).reset_index()
         return out
 
     inter = partial.groupby("__pb").map_groups(sum_pairs, batch_format="pandas")
@@ -1104,19 +1121,28 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         sb = b.column("sb").to_numpy().astype(np.float64)
         # length filter (exact): J >= tau needs min(|A|,|B|) >= tau*max
         keep = np.minimum(sa, sb) * (1.0 + 1e-12) >= tau * np.maximum(sa, sb)
-        if prefix_filter and df_cap is None:
-            # Remaining-overlap filter (exact): an uncounted common
-            # shingle is absent from at least one indexed prefix, i.e.
-            # it lies in A's or B's unindexed suffix (the ceil(tau*|X|)-1
-            # LARGEST hashes of X). The total hash order forces every
-            # uncounted common above max(prefix_A) or max(prefix_B), so
-            # their count is bounded by the LARGER suffix alone — NOT
-            # the smaller (min was unsound: all uncounted commons can
-            # sit in the larger doc's suffix). total overlap
-            # <= c + max(ceil(tau*|A|), ceil(tau*|B|)) - 1; J >= tau
-            # needs total overlap >= tau/(1+tau)*(|A|+|B|). Kills the
-            # one-shared-shingle candidate flood BEFORE any text ships.
-            max_total = c + np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
+        if prefix_filter and df_cap is None and "mpa" in b.column_names:
+            # Remaining-overlap filter, two sound bounds combined:
+            # (1) suffix bound — the smallest uncounted common is
+            #     outside one doc's prefix, and hash order then forces
+            #     ALL uncounted commons into that SAME doc's suffix:
+            #     u <= max(ceil(tau*sa), ceil(tau*sb)) - 1.
+            # (2) PPJoin positional bound (Xiao et al., WWW 2008) —
+            #     every uncounted common hashes above the max-hash
+            #     counted common at positions (mpa, mpb) (per-doc hash
+            #     ranks, so one shingle holds both maxes):
+            #     u <= min(sa-1-mpa, sb-1-mpb).
+            # Neither dominates: an EARLY prefix match makes (2) loose
+            # (measured: (2) alone let candidates explode 548k -> 8M on
+            # the 200k-doc suite corpus), a LATE match makes (1) loose.
+            # total overlap <= c + min of both; J >= tau needs total
+            # overlap >= tau/(1+tau)*(|A|+|B|). Kills the
+            # one-shared-shingle candidate flood BEFORE payloads ship.
+            mpa = b.column("mpa").to_numpy().astype(np.float64)
+            mpb = b.column("mpb").to_numpy().astype(np.float64)
+            sfx = np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
+            rem = np.minimum(sa - 1.0 - mpa, sb - 1.0 - mpb)
+            max_total = c + np.minimum(sfx, rem)
             keep &= max_total * (1.0 + tau) * (1.0 + 1e-12) >= tau * (sa + sb)
         t = b.filter(pa.array(keep))
         return pa.table({"a": t.column("a"), "b": t.column("b")})

@@ -390,3 +390,33 @@ def test_scrub_text_pii_and_sequential_semantics(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     for c in ["n_email", "n_ipv4", "n_phone", "text_clean", "n_redacted"]:
         assert list(out[c]) == list(ora[c]), c
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8])
+def test_jaccard_positional_filter_exact_vs_naive(ray_session, tau):
+    """The combined suffix+positional candidate bound must keep the
+    prefix path's pair set IDENTICAL to the naive full-index algebra
+    for any corpus — including near-duplicate docs whose first common
+    shingle sits early (positional bound loose) and docs overlapping
+    only in their hash suffixes (suffix bound loose)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(int(tau * 100))
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(70):
+        n = rng.integers(5, 40)
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    # planted near-dups: small edits of earlier docs
+    for i in range(20):
+        base = texts[i].split()
+        j = rng.integers(0, len(base))
+        base[j] = "edited"
+        texts.append(" ".join(base))
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    naive = T.jaccard_pairs_exact(ds, tau=tau, prefix_filter=False).to_pandas()
+    pref = T.jaccard_pairs_exact(ds, tau=tau, prefix_filter=True).to_pandas()
+    ns = set(zip(naive["a"], naive["b"]))
+    ps = set(zip(pref["a"], pref["b"]))
+    assert ns == ps
+    assert len(ns) > 0  # the fixture must actually produce pairs
