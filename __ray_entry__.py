@@ -677,67 +677,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["event_id", "o_orderdate"])
 
     # ORDER MATTERS: the driver's correctness gate records at most the
-    # first 50 entries. Rotation policy: least-recently-driver-verified
-    # first — (1) entries the r02 gate truncated, (2) this round's new
-    # operators, (3) once-verified entries; the 12 tail entries were
-    # driver-verified green in BOTH r01 and r02 (unchanged code) and
-    # remain covered by pytest + scripts/check_contract.py.
+    # first 50 entries. Standing rotation policy (VERDICT r03 item 2):
+    # least-recently-driver-checked FIRST, so no query goes more than
+    # ~2 rounds without a driver row — (1) the 14 entries outside the
+    # r03 window (last driver-green in r01/r02), (2) entries checked
+    # exactly once (new in r03), (3) entries checked in r02+r03; the
+    # 14-entry tail was driver-green twice with code untouched this
+    # round, and stays covered by pytest + scripts/check_contract.py.
     return {
-        # -- (1) truncated from the r02 driver check ------------------------
-        "media_features": media_features,
-        "poly_contains": poly_contains,
-        "line_within_distance": line_within_distance,
-        "events_window": events_window,
-        "events_hopping": events_hopping,
-        "events_sessions": events_sessions,
-        "events_asof_orders": events_asof_orders,
-        # -- (2) new this round ---------------------------------------------
-        "locate_at_point_first": locate_at_point_first,
-        "locate_in_box_4d": locate_in_box_4d,
-        "knn_4d": knn_4d,
-        "indexed_remove": indexed_remove,
-        "indexed_remove_reinsert": indexed_remove_reinsert,
-        "quality_score": quality_score,
-        "scrub_pii": scrub_pii,
-        # -- (3) verified once (r02) ----------------------------------------
-        "locate_in_box_3d": locate_in_box_3d,
-        "locate_in_box_int": locate_in_box_int,
-        "indexed_knn": indexed_knn,
-        "spatial_join_payload": spatial_join_payload,
-        "spatial_join_3d": spatial_join_3d,
-        "knn_3d": knn_3d,
-        "within_distance_3d": within_distance_3d,
-        "indexed_box_3d": indexed_box_3d,
-        "indexed_within_distance_3d": indexed_within_distance_3d,
-        "indexed_knn_3d": indexed_knn_3d,
-        "circle_within_distance": circle_within_distance,
-        "circle_at_point": circle_at_point,
-        "drain_in_envelope": drain_in_envelope,
-        "drain_within_distance": drain_within_distance,
-        "drain_limit": drain_limit,
-        "remove_at_point": remove_at_point,
-        "nn_stream": nn_stream,
-        "remove_equal": remove_equal,
-        "remove_selection": remove_selection,
-        "drain_selection": drain_selection,
-        "selection_function": selection_function,
-        "tile_geometry_join": tile_geometry_join,
-        "extract_geo_spans": extract_geo_spans,
-        "dedup_exact": dedup_exact,
-        "dedup_exact_checkpointed": dedup_exact_checkpointed,
-        "embedding_neardup": embedding_neardup,
-        "bpe_token_stats": bpe_token_stats,
-        "jaccard_pairs": jaccard_pairs,
-        "neardup_minhash": neardup_minhash,
-        "lang_id": lang_id,
-        "simhash": simhash,
-        "neardup_simhash_pairs": neardup_simhash_pairs,
-        "doc_fingerprint": doc_fingerprint,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
-        "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+        # -- (1) outside the r03 driver window (judge-verified then) --------
         "token_stats": token_stats,
-        # -- tail: driver-verified green in BOTH r01 and r02 ----------------
         "iter_all": iter_all,
         "locate_in_envelope": locate_in_envelope,
         "locate_in_envelope_rects": locate_in_envelope_rects,
@@ -750,8 +699,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pop_nearest_neighbor": pop_nearest_neighbor,
         "spatial_join": spatial_join,
         "tile_histogram": tile_histogram,
-        # (same oracle as jaccard_pairs, which stays in the checked 50)
         "jaccard_pairs_prefix": jaccard_pairs_prefix,
+        # -- (2) driver-checked once (new in r03) ---------------------------
+        "locate_at_point_first": locate_at_point_first,
+        "locate_in_box_4d": locate_in_box_4d,
+        "knn_4d": knn_4d,
+        "indexed_remove": indexed_remove,
+        "indexed_remove_reinsert": indexed_remove_reinsert,
+        "quality_score": quality_score,
+        "scrub_pii": scrub_pii,
+        # -- (3) checked r02+r03; code touched this round stays in-window ---
+        "media_features": media_features,
+        "poly_contains": poly_contains,
+        "line_within_distance": line_within_distance,
+        "events_window": events_window,
+        "events_hopping": events_hopping,
+        "events_sessions": events_sessions,
+        "events_asof_orders": events_asof_orders,
+        "indexed_knn": indexed_knn,
+        "spatial_join_payload": spatial_join_payload,
+        "spatial_join_3d": spatial_join_3d,
+        "knn_3d": knn_3d,
+        "indexed_knn_3d": indexed_knn_3d,
+        "drain_in_envelope": drain_in_envelope,
+        "drain_within_distance": drain_within_distance,
+        "drain_limit": drain_limit,
+        "remove_at_point": remove_at_point,
+        "drain_selection": drain_selection,
+        "dedup_exact": dedup_exact,
+        "dedup_exact_checkpointed": dedup_exact_checkpointed,
+        "embedding_neardup": embedding_neardup,
+        "jaccard_pairs": jaccard_pairs,
+        "neardup_minhash": neardup_minhash,
+        "lang_id": lang_id,
+        "simhash": simhash,
+        "neardup_simhash_pairs": neardup_simhash_pairs,
+        "doc_fingerprint": doc_fingerprint,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+        # -- tail: driver-green r02 AND r03, code untouched this round ------
+        "locate_in_box_3d": locate_in_box_3d,
+        "locate_in_box_int": locate_in_box_int,
+        "within_distance_3d": within_distance_3d,
+        "indexed_box_3d": indexed_box_3d,
+        "indexed_within_distance_3d": indexed_within_distance_3d,
+        "circle_within_distance": circle_within_distance,
+        "circle_at_point": circle_at_point,
+        "nn_stream": nn_stream,
+        "remove_equal": remove_equal,
+        "remove_selection": remove_selection,
+        "selection_function": selection_function,
+        "tile_geometry_join": tile_geometry_join,
+        "extract_geo_spans": extract_geo_spans,
+        "bpe_token_stats": bpe_token_stats,
     }
 
 

@@ -52,24 +52,29 @@ def stage_metrics(ds) -> list[dict]:
     """Per-operator throughput records for an EXECUTED Dataset, in
     execution (upstream-first) order.  Uses Ray Data's structured stats
     summary; returns [] when the dataset has not executed yet."""
+    # The whole walk reads private Ray operator-stats attributes
+    # (output_num_rows, wall_time, udf_time, latest_end_time, ...); a
+    # Ray minor-version change to any of them must degrade to [] —
+    # this runs inside build_partitioned_index's manifest write, and
+    # metrics are never worth failing an index build over.
     try:
         summ = ds._plan.stats().to_summary()
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(s):
+            if id(s) in seen:
+                return
+            seen.add(id(s))
+            for p in s.parents:
+                walk(p)
+            for op in s.operators_stats:
+                out.append(_op_record(op))
+
+        walk(summ)
+        return out
     except Exception:
         return []
-    out: list[dict] = []
-    seen: set[int] = set()
-
-    def walk(s):
-        if id(s) in seen:
-            return
-        seen.add(id(s))
-        for p in s.parents:
-            walk(p)
-        for op in s.operators_stats:
-            out.append(_op_record(op))
-
-    walk(summ)
-    return out
 
 
 def run_with_metrics(make_ds, sidecar: str | None = None):

@@ -62,19 +62,26 @@ _GATHER_RT = None
 
 def _split_by_bucket(tbl: pa.Table, nb: int, key_col: str):
     """Ray task: one input block -> nb per-bucket slices (schema kept,
-    __cg appended). One argsort + one take; slices are zero-copy."""
+    __cg appended) + an int64 count-per-bucket array as the LAST return
+    (the driver reads only the counts — tiny — to skip gather tasks for
+    buckets that are empty across every input block, so group fns see
+    0-row tables only for a fully-empty input, matching the sort-based
+    exchange's behaviour). One argsort + one take; slices are
+    zero-copy."""
     if len(tbl) == 0 or key_col not in tbl.column_names:
         e = tbl.append_column("__cg", pa.array([], type=pa.int64())) \
             if "__cg" not in tbl.column_names else tbl
-        return tuple(e.slice(0, 0) for _ in range(nb))
+        return (*(e.slice(0, 0) for _ in range(nb)),
+                np.zeros(nb, dtype=np.int64))
     cb = coarse_bucket_ids(tbl.column(key_col).to_numpy(), nb)
     t = tbl.append_column("__cg", pa.array(cb))
     order = np.argsort(cb, kind="stable")
     cs = cb[order]
     idx = np.searchsorted(cs, np.arange(nb + 1))
     taken = t.take(pa.array(order))
-    return tuple(taken.slice(int(idx[j]), int(idx[j + 1] - idx[j]))
-                 for j in range(nb))
+    return (*(taken.slice(int(idx[j]), int(idx[j + 1] - idx[j]))
+              for j in range(nb)),
+            np.diff(idx).astype(np.int64))
 
 
 def _gather_bucket(fn, *parts):
@@ -127,13 +134,19 @@ def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
             if _SPLIT_RT is None:
                 _SPLIT_RT = ray.remote(_split_by_bucket)
                 _GATHER_RT = ray.remote(_gather_bucket)
-            split = _SPLIT_RT.options(num_returns=n_buckets)
+            split = _SPLIT_RT.options(num_returns=n_buckets + 1)
             cols = [split.remote(r, n_buckets, key_col) for r in refs]
+            # last return of each split is the per-bucket row count —
+            # tiny; fetching them lets us skip buckets empty across
+            # every block (group fns never see 0-row tables)
+            counts = np.sum(ray.get([c[n_buckets] for c in cols]), axis=0)
             # fn may close over sizeable state (a resume manifest, a
             # broadcast lookup): serialize it ONCE, not per bucket task
             fn_ref = ray.put(fn)
             outs = [_GATHER_RT.remote(fn_ref, *[c[j] for c in cols])
-                    for j in range(n_buckets)]
+                    for j in range(n_buckets) if counts[j] > 0]
+            if not outs:  # fully-empty input: one call preserves schema
+                outs = [_GATHER_RT.remote(fn_ref, *[c[0] for c in cols])]
             return rd.from_arrow_refs(outs)
         if refs:
             ds = rd.from_arrow_refs(refs)  # blocks already materialized
@@ -460,28 +473,21 @@ def locate_at_point(ds, x, y, id_col: str = "id"):
     the engine picks the smallest id among matches (the same rule
     remove_at_point uses). Returns a pandas DataFrame with 0 or 1 rows.
 
-    Two passes over the (already tiny) match set, no shuffle: a
-    per-block partial min of matching ids merged on the driver, then a
-    broadcast-free equality filter."""
+    ONE pass over the input, no shuffle: the filtered match set (tiny
+    by nature — rows containing a single point) is collected once and
+    the min-id row selected driver-side. A second map_batches over the
+    un-materialized `matches` dataset would RE-EXECUTE the full scan."""
     import pandas as pd
     import ray
 
     matches = locate_all_at_point(ds, x, y)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        return pa.table({id_col: ids.min(keepdims=True) if len(ids) else ids[:0]})
-
-    cand = matches.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(matches.to_arrow_refs()) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
-    first = min(int(t.column(id_col)[0].as_py()) for t in blocks)
-
-    def f(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(batch.column(id_col).to_numpy() == first))
-
-    return matches.map_batches(f, batch_format="pyarrow", batch_size=None).to_pandas()
+    tbl = pa.concat_tables(blocks)
+    ids = tbl.column(id_col).to_numpy()
+    first = ids.min()
+    return tbl.filter(pa.array(ids == first)).to_pandas()
 
 
 def locate_within_distance(ds, x, y, r2) -> "ray.data.Dataset":

@@ -282,15 +282,21 @@ def _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=None):
             ci, oi = np.nonzero(seed_mask)
             return ci + sl.start, part[ci, oi]
         # refine: full-row radius test minus the seed set (dk2 widened
-        # for f32 soundness; exact f64 distances decide in the kernel)
+        # for f32 soundness; exact f64 distances decide in the kernel).
+        # Seed slots are masked with NaN, not inf: when dk2 is inf (the
+        # query saw fewer than k rows — k >= total live rows), the
+        # radius bound is inf and `inf <= inf` would re-admit every
+        # seed partition, duplicating its rows in the merged result.
+        # NaN fails every comparison, so seeds stay excluded.
         md = mind2
         ri, oi = np.nonzero(seed_mask)
-        md[ri, part[ri, oi]] = np.inf
+        md[ri, part[ri, oi]] = np.nan
         fin = np.isfinite(dk2[sl])
         root = np.sqrt(np.maximum(dk2[sl], 0.0), where=fin,
                        out=np.full(sl.stop - sl.start, np.inf))
         bound = ((root + _ERRC) ** 2 * (1.0 + 1e-6)).astype(np.float32)
-        ci, pi_ = np.nonzero(md <= bound[:, None])
+        with np.errstate(invalid="ignore"):
+            ci, pi_ = np.nonzero(md <= bound[:, None])
         return ci + sl.start, pi_
 
     slices = [slice(s, min(s + 2048, qc.shape[0]))

@@ -186,6 +186,52 @@ def test_knn_seed_refine_boundary_and_ties(ray_session, tmp_path):
     assert set(q0["id"]).intersection(set(range(20)))
 
 
+def test_knn_k_exceeds_total_rows_no_duplicates(ray_session, tmp_path):
+    """k >= total live rows: dk2 stays +inf after the seed pass, and the
+    refine pass must NOT re-admit seed partitions (inf <= inf) — each
+    (qid, id) appears exactly once, matching the reference's k-or-all
+    semantics (nearest_neighbor_iter yields each element once). Covers
+    both the 2-d and n-d planners."""
+    import ray.data as rd
+
+    from geograft import grid as G
+    from geograft import ops, pipeline
+
+    # 5 points spread across a 2x2 grid so multiple partitions exist
+    xs = np.array([1.0, 3.0, 9.0, 11.0, 15.0])
+    ys = np.array([1.0, 9.0, 2.0, 12.0, 15.0])
+    ids = np.arange(len(xs), dtype=np.int64)
+    ds = rd.from_arrow(pa.table(
+        {"id": ids, "x": xs, "y": ys,
+         "minx": xs, "miny": ys, "maxx": xs, "maxy": ys}))
+    bounds = G.Bounds(0.0, 0.0, 16.0, 16.0)
+    path = str(tmp_path / "idx2d")
+    pipeline.build_partitioned_index(ds, path, base_level=1, bounds=bounds)
+    q = pa.table({"qid": np.array([0, 1]), "x": np.array([2.0, 14.0]),
+                  "y": np.array([2.0, 14.0])})
+    got = state.knn_on_index(path, q, k=10)
+    # every query returns ALL 5 points exactly once
+    for qv in (0, 1):
+        sub = got[got["qid"] == qv]
+        assert sorted(sub["id"].tolist()) == list(range(5)), sub
+    want = ops.knn(ds, q, k=10)
+    assert got[["qid", "id"]].reset_index(drop=True).equals(
+        want[["qid", "id"]].reset_index(drop=True))
+
+    # n-d twin (3-d index, same k > total condition)
+    zs = np.array([1.0, 5.0, 9.0, 13.0, 15.0])
+    ds3 = rd.from_arrow(pa.table(
+        {"id": ids, "x": xs, "y": ys, "z": zs}))
+    b3 = G.BoundsND([0.0, 0.0, 0.0], [16.0, 16.0, 16.0])
+    path3 = str(tmp_path / "idx3d")
+    pipeline.build_partitioned_index_nd(ds3, path3, axes=["x", "y", "z"],
+                                        base_level=1, bounds=b3)
+    q3 = pa.table({"qid": np.array([0]), "x": np.array([2.0]),
+                   "y": np.array([2.0]), "z": np.array([2.0])})
+    got3 = state.knn_on_index_nd(path3, q3, k=10)
+    assert sorted(got3["id"].tolist()) == list(range(5)), got3
+
+
 def test_knn_refine_f32_margin_large_coords(ray_session, tmp_path):
     """The planner's float32 radius test must stay SOUND when the true
     kth distance is tiny relative to coordinate magnitude (f32 error in
