@@ -273,6 +273,22 @@ def cell_of_points_nd(coords: np.ndarray, level: int, bounds: BoundsND) -> np.nd
     return pack_nd(cell_coords_nd(coords, level, bounds), level)
 
 
+def unpack_nd(cell_id: np.ndarray, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """int64 n-d cell ids -> ((n, d) integer coords, (n,) levels) — the
+    inverse of pack_nd. Mixed-level inputs (skew-split children) decode
+    per row; bits beyond each row's own level*d are zero by
+    construction, so one loop to the global max level is exact."""
+    cid = np.asarray(cell_id).astype(np.uint64)
+    level = (cid >> np.uint64(_LEVEL_SHIFT)).astype(np.int64)
+    morton = cid & np.uint64(_MORTON_MASK)
+    out = np.zeros((len(cid), d), dtype=np.uint64)
+    lmax = int(level.max(initial=0))
+    for bit in range(lmax):
+        for ax in range(d):
+            out[:, ax] |= ((morton >> np.uint64(bit * d + ax)) & np.uint64(1)) << np.uint64(bit)
+    return out.astype(np.int64), level
+
+
 def enumerate_cell_ranges_nd(c0: np.ndarray, c1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Expand n inclusive d-dim integer ranges into member cells.
     Returns (row_index, (m, d) cells) — mixed-radix enumeration,

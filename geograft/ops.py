@@ -966,7 +966,7 @@ def nearest_neighbors_all_ties(ds, x: float, y: float, id_col: str = "id"):
 
 
 def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
-                id_col: str = "id", directory=None):
+                id_col: str = "id", directory=None, planner: str = "auto"):
     """Two-level exact kNN (SURVEY.md §3.3): the scalable path.
 
     1. PLAN (driver, vectorized over the SMALL cell directory): for each
@@ -983,6 +983,12 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
     Work per query is proportional to the candidate cells' point count,
     not the table size — this is what replaces the O(n*Q) brute force at
     10^12-doc scale.
+
+    ``planner``: 'auto' uses the matrix plan below
+    state.ANALYTIC_MIN_PARTS occupied cells and analytic owner-cell +
+    ring-expansion cover routes (ringplan.plan_cover) above — planning
+    memory is then bounded by the visited rings, not the cell count;
+    'matrix'/'rings' force a side.
     """
     import pandas as pd
     import ray
@@ -1024,6 +1030,23 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
             ub = prefix_max[rows, first_ge]
         qi, ci = np.nonzero(mind2 <= ub[:, None])
         return cqid[qi], cells[ci], cqx1[qi], cqy1[qi]
+
+    from .state import ANALYTIC_MIN_PARTS
+
+    use_rings = (planner == "rings" or
+                 (planner == "auto" and len(cells) >= ANALYTIC_MIN_PARTS))
+    dirx = None
+    if use_rings:
+        from . import ringplan as RP
+
+        dirx = RP.GridDirectory(
+            cells, counts, clo, cup,
+            np.array([bounds.minx, bounds.miny]),
+            np.array([bounds.maxx, bounds.maxy]), 2)
+
+        def plan_chunk(cqid, cqx1, cqy1):  # noqa: F811
+            qi, ci = RP.plan_cover(dirx, np.stack([cqx1, cqy1], axis=1), k)
+            return cqid[qi], cells[ci], cqx1[qi], cqy1[qi]
 
     # planning is itself a parallel stage for very big query sets; below
     # that the extra Ray stage round-trip costs more than driver planning

@@ -409,8 +409,49 @@ _KNN_TASK = None
 # without backpressure, which is only safe when everything fits
 KNN_DIRECT_MAX_FILES = 2048
 
+# at or above this many live partitions the planners switch from the
+# dense (query x partition) matrix to analytic owner-cell + ring
+# expansion (ringplan.py): the matrix is faster below (one vectorized
+# pass, no per-ring bookkeeping) but its memory/compute grow O(Q*M) —
+# ~8 GB per 2048-query chunk at 1M partitions even in f32 — while ring
+# planning is bounded by the visited-ring volume per query
+ANALYTIC_MIN_PARTS = 4096
 
-def knn_on_index(index_path: str, queries: pa.Table, k: int):
+
+def _knn_planner(cids, plo, pup, counts, bounds_lo, bounds_hi, d,
+                 planner: str = "auto"):
+    """Seed/refine planner pair over the manifest directory: returns
+    (seed(qc, k) -> (qi, pi, aux), refine(qc, k, dk2, aux) -> (qi, pi)).
+    ``planner``: 'auto' switches on ANALYTIC_MIN_PARTS; 'matrix' /
+    'rings' force a side (tests assert both produce identical kNN)."""
+    use_rings = (planner == "rings" or
+                 (planner == "auto" and len(cids) >= ANALYTIC_MIN_PARTS))
+    if use_rings:
+        from . import ringplan as RP
+
+        dirx = RP.GridDirectory(cids, counts, plo, pup,
+                                np.asarray(bounds_lo), np.asarray(bounds_hi), d)
+
+        def seed(qc, k):
+            return RP.plan_seed(dirx, qc, k)
+
+        def refine(qc, k, dk2, aux):
+            return RP.plan_refine(dirx, qc, k, dk2, r_stop=aux)
+
+        return seed, refine
+
+    def seed(qc, k):
+        qi, pi = _plan_knn_seed_refine(qc, plo, pup, counts, k)
+        return qi, pi, None
+
+    def refine(qc, k, dk2, aux):
+        return _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=dk2)
+
+    return seed, refine
+
+
+def knn_on_index(index_path: str, queries: pa.Table, k: int,
+                 planner: str = "auto"):
     """Shuffle-free exact kNN over a BUILT index, in two planned passes:
 
     1. SEED — each query routes to its nearest partitions until their
@@ -425,7 +466,11 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
     the bound there is the home cell's far corner, which admits every
     neighbor. Partitions are cell-pure, so no exchange is needed in
     either pass; the only data movement is the pruned partition read.
-    This is the build-once/query-many fast path."""
+    This is the build-once/query-many fast path.
+
+    ``planner``: 'auto' uses the dense matrix planner below
+    ANALYTIC_MIN_PARTS partitions and analytic owner-cell + ring
+    expansion (ringplan.py) above; 'matrix'/'rings' force a side."""
     import ray
     import ray.data as rd
 
@@ -501,8 +546,11 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
 
     import pandas as pd
 
+    b = man["bounds"]
+    seed, refine = _knn_planner(cids, plo, pup, counts, b[:2], b[2:], 2,
+                                planner=planner)
     # pass 1: seed (nearest partitions covering >= k rows per query)
-    qi, pi = _plan_knn_seed_refine(qc, plo, pup, counts, k)
+    qi, pi, aux = seed(qc, k)
     blocks = run_pass(qi, pi)
     # pass 2: refine — only partitions provably able to beat the seed
     # pass's exact kth distance (qids sorted for the searchsorted map)
@@ -516,7 +564,7 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int):
         dk2[qsort] = dk2_sorted
     else:
         dk2 = np.full(len(qid), np.inf)
-    qi2, pi2 = _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=dk2)
+    qi2, pi2 = refine(qc, k, dk2, aux)
     blocks += run_pass(qi2, pi2)
     if not blocks:
         return pd.DataFrame({"qid": [], "id": [], "dist2": []})
@@ -699,7 +747,7 @@ _KNN_TASK_ND = None
 
 
 def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
-                    id_col: str = "id"):
+                    id_col: str = "id", planner: str = "auto"):
     """Shuffle-free exact kNN against a BUILT n-d index (the
     dimension-generic twin of knn_on_index; nearest-neighbour search is
     dimension-generic in the reference, rstar/src/algorithm/nearest_neighbor.rs
@@ -771,8 +819,11 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
         return [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
 
     # seed + refine, same two-pass protocol as the 2-d knn_on_index
-    # (_plan_knn_seed_refine is dimension-generic over qc's axes)
-    qi, pi = _plan_knn_seed_refine(qc, plo, pup, counts, k)
+    # (both planners are dimension-generic over qc's axes)
+    b = man["bounds"]
+    seed, refine = _knn_planner(cids, plo, pup, counts, b[0], b[1], d,
+                                planner=planner)
+    qi, pi, aux = seed(qc, k)
     blocks = run_pass(qi, pi)
     qsort = np.argsort(qid, kind="stable")
     if blocks:
@@ -784,7 +835,7 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
         dk2[qsort] = dk2_sorted
     else:
         dk2 = np.full(len(qid), np.inf)
-    qi2, pi2 = _plan_knn_seed_refine(qc, plo, pup, counts, k, dk2=dk2)
+    qi2, pi2 = refine(qc, k, dk2, aux)
     blocks += run_pass(qi2, pi2)
     if not blocks:
         return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
