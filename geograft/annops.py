@@ -32,6 +32,53 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norm[:, None]
 
 
+def _cos_reduce(batch: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Associative per-block combine: top-k per qid of a candidate
+    block, (qid, -cos, id) tie contract (shared _topk_per_qid kernel
+    with d2 = -cos)."""
+    from .ops import _topk_per_qid
+
+    if len(batch) == 0 or "qid" not in batch.column_names:
+        return pa.table({"qid": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
+    qid = batch.column("qid").to_numpy()
+    ids = batch.column(id_col).to_numpy()
+    cos = batch.column("cos").to_numpy()
+    keep = _topk_per_qid(qid, ids, -cos, k)
+    return pa.table({"qid": qid[keep], id_col: ids[keep], "cos": cos[keep]})
+
+
+def _cos_topk_finish(cand, k: int, id_col: str, reduce_blocks: int = 8):
+    """Distributed final top-k for a (qid, id, cos) candidate stream:
+    shuffle-free tree-reduce (repartition + associative per-block
+    combine — the ops.knn shape) so the driver only ever sees
+    reduce_blocks x Q x k rows, never the full candidate stream (at Q
+    queries x B blocks x k the un-reduced stream is the first thing a
+    1M-query user would die on). Returns (qid, id, cos) sorted by
+    (qid, -cos, id)."""
+    import ray
+
+    from .ops import _topk_per_qid
+
+    cand = cand.repartition(reduce_blocks).map_batches(
+        _cos_reduce, fn_args=(k, id_col), batch_format="pyarrow",
+        batch_size=None)
+    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    if not blocks:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "cos": pd.Series([], dtype=np.float64)})
+    tbl = pa.concat_tables(blocks)
+    qid = tbl.column("qid").to_numpy()
+    ids = tbl.column(id_col).to_numpy()
+    cos = tbl.column("cos").to_numpy()
+    keep = _topk_per_qid(qid, ids, -cos, k)
+    order = np.lexsort((ids[keep], -cos[keep], qid[keep]))
+    keep = keep[order]
+    return pd.DataFrame({"qid": qid[keep], id_col: ids[keep], "cos": cos[keep]})
+
+
 def cosine_topk(ds, query_vecs: np.ndarray, k: int,
                 id_col: str = "vec_id", emb_col: str = "embedding"):
     """Exact brute-force cosine top-k for Q query vectors.
@@ -74,20 +121,7 @@ def cosine_topk(ds, query_vecs: np.ndarray, k: int,
         )
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
-    qid = tbl.column("qid").to_numpy()
-    if len(qid) == 0:
-        return pd.DataFrame({"qid": [], id_col: [], "cos": []})
-    ids = tbl.column(id_col).to_numpy()
-    cos = tbl.column("cos").to_numpy()
-    order = np.lexsort((ids, -cos, qid))
-    qs = qid[order]
-    boundary = np.empty(len(qs), dtype=bool)
-    boundary[0] = True
-    boundary[1:] = qs[1:] != qs[:-1]
-    group_start = np.maximum.accumulate(np.where(boundary, np.arange(len(qs)), 0))
-    keep = order[np.arange(len(qs)) - group_start < k]
-    return pd.DataFrame({"qid": qid[keep], id_col: ids[keep], "cos": cos[keep]})
+    return _cos_topk_finish(cand, k, id_col)
 
 
 def _hyperplanes(d: int, n_planes: int = 12, seed: int = 11) -> np.ndarray:
@@ -176,12 +210,7 @@ def cosine_topk_lsh(ds, query_vecs: np.ndarray, k: int,
                          "cos": np.concatenate(out_c)})
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    pdf = cand.to_pandas()
-    if len(pdf) == 0:
-        return pdf
-    pdf = pdf.sort_values(["qid", "cos", id_col], ascending=[True, False, True],
-                          kind="stable")
-    return pdf.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    return _cos_topk_finish(cand, k, id_col)
 
 
 # ~rows a sign-LSH band bucket should hold: small enough that the
@@ -457,9 +486,4 @@ def cosine_topk_ivf(ds, query_vecs: np.ndarray, k: int,
                          "cos": np.concatenate(out_c)})
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    pdf = cand.to_pandas()
-    if len(pdf) == 0:
-        return pdf
-    pdf = pdf.sort_values(["qid", "cos", id_col], ascending=[True, False, True],
-                          kind="stable")
-    return pdf.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    return _cos_topk_finish(cand, k, id_col)
