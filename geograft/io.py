@@ -66,18 +66,37 @@ def read_parquet_sized(path: str, columns: list[str] | None = None, **kwargs):
     import ray.data as rd
 
     size = 0
+    first_file = None
     if os.path.isfile(path):
         size = os.path.getsize(path)
+        first_file = path
     elif os.path.isdir(path):
-        size = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
-        )
+        for r, _, fs in os.walk(path):
+            for f in fs:
+                size += os.path.getsize(os.path.join(r, f))
+                if first_file is None and f.endswith(".parquet"):
+                    first_file = os.path.join(r, f)
     if size and "override_num_blocks" not in kwargs:
         by_target = (size * 4) // TARGET_BLOCK_BYTES
         small_par = min(MAX_SMALL_PARALLELISM, size // MIN_BLOCK_FILE_BYTES)
         kwargs["override_num_blocks"] = int(max(1, by_target, small_par))
+    if "schema" not in kwargs and first_file is not None:
+        # pandas-written parquet carries a b'pandas' schema-metadata
+        # dict; pa.Schema.__hash__ chokes on it, which disables Ray's
+        # block-schema dedup (unify_schemas warns "Failed to hash the
+        # schemas" on every plan). Hand Ray a metadata-free schema so
+        # every downstream schema comparison is hashable.
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            fsch = pq.read_schema(first_file).remove_metadata()
+            kwargs["schema"] = (
+                pa.schema([fsch.field(c) for c in columns])
+                if columns else fsch
+            )
+        except Exception:
+            pass  # unreadable footer / missing column: let Ray report it
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

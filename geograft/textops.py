@@ -1209,7 +1209,11 @@ def checkpointed_dedup_exact(ds, out_dir: str, text_col: str = "text",
                .reset_index(drop=False)[[id_col]].sort_values(id_col))
         fname = os.path.join(out_dir, f"survivors-{bucket}.parquet")
         tmp = fname + ".tmp"
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        # strip the pandas schema-metadata dict: unhashable metadata
+        # disables Ray's block-schema dedup when the shard is read back
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False)
+            .replace_schema_metadata(None), tmp)
         os.replace(tmp, fname)
         return pd.DataFrame({"bucket": [bucket], "rows": [len(out)],
                              "bytes": [os.path.getsize(fname)],

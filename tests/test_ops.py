@@ -449,3 +449,23 @@ def test_direct_and_sort_exchange_equivalent(ray_session, sf_small):
         outs[mode] = res
     pd.testing.assert_frame_equal(outs["direct"], outs["sort"])
     assert outs["direct"]["n"].sum() > 0
+
+
+def test_read_schema_hashable_no_dedup_warning(ray_session, sf_small, caplog):
+    """pandas-written parquet carries schema metadata whose dict breaks
+    pa.Schema.__hash__; io.read_parquet_sized must hand Ray a
+    metadata-free schema so unify_schemas' dedup path never warns
+    ("Failed to hash the schemas") and block-schema dedup stays on."""
+    import logging
+
+    import pyarrow as pa
+
+    from geograft.io import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_small}/events.parquet",
+                            columns=["event_id", "value"])
+    with caplog.at_level(logging.WARNING, logger="ray.data"):
+        sch = ds.schema()
+        assert hash(pa.schema(list(zip(sch.names, sch.types)))) is not None
+        assert ds.count() > 0
+    assert not [r for r in caplog.records if "Failed to hash" in r.message]
