@@ -512,8 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def neardup_simhash_pairs(sf):
         # exact hamming-threshold pairs at the signature level
-        # (pigeonhole banding + XOR-popcount verification); brute-force
-        # equality oracle lives in tests — no SQL can express simhash
+        # (pigeonhole banding + XOR-popcount verification); the token
+        # hash is SQL-recomputable, so the oracle is exact DuckDB SQL
         return T.neardup_simhash(_docs(sf), max_hamming=8)
 
     def doc_fingerprint(sf):
@@ -990,10 +990,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
         ),
-        # neardup_minhash / lang_id / simhash / doc_fingerprint /
-        # ann_cosine_topk_lsh / embedding_neardup: probabilistic or
-        # model-style ops -> no SQL oracle (driver records rows-only);
-        # their exactness/soundness oracles live in tests/.
+        # neardup_minhash / lang_id / ann_cosine_topk_lsh /
+        # embedding_neardup: probabilistic or model-style ops -> no SQL
+        # oracle (driver records rows-only); their exactness/soundness
+        # oracles live in tests/.
+        # simhash / neardup_simhash_pairs / doc_fingerprint ARE exact:
+        # their token hash (textops._sql_hash) is FNV-1a over code
+        # points + splitmix64, chosen to be DuckDB-recomputable; the SQL
+        # below is GENERATED from the same constants (scrub_pii
+        # precedent), so engine and oracle cannot drift.
+        "simhash": _T.simhash_oracle_sql(),
+        "neardup_simhash_pairs": _T.neardup_simhash_oracle_sql(8),
+        "doc_fingerprint": _T.fingerprint_oracle_sql(),
         "poly_contains": (
             f"SELECT 'd' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS doc_id "
             f"FROM events WHERE 30.0*({POLY_Q[1]} - user_id) > 0 "

@@ -38,6 +38,188 @@ def _stable_hash(texts: pa.Array | pa.ChunkedArray, seed: int = 42) -> np.ndarra
 
 
 # --------------------------------------------------------------------------
+# SQL-recomputable token hash (FNV-1a over code points + splitmix64)
+#
+# `_stable_hash` (polars xxhash) is fast but no SQL engine can recompute
+# it, which locks every op built on it into rows-only verification. The
+# hash below is chosen so a DuckDB oracle can reproduce it EXACTLY with
+# list_reduce/HUGEINT arithmetic: FNV-1a folded over Unicode code points
+# (mod 2^64), then the splitmix64 finalizer for bit dispersion (FNV-1a
+# alone has correlated high bits — simhash needs each bit ~uniform).
+# Both sides are generated from the same constants (`token_hash_sql`),
+# the scrub_pii precedent: engine and oracle cannot drift.
+# --------------------------------------------------------------------------
+
+_FNV_BASIS = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_MIX1 = 0xBF58476D1CE4E5B9
+_MIX2 = 0x94D049BB133111EB
+_M64 = 1 << 64
+
+
+def _codepoints(flat: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lens, starts, codepoints) for a flat string array, bulk-decoded:
+    ASCII reads the Arrow data buffer zero-copy (bytes == code points);
+    anything else takes ONE C-level utf8->utf32 decode of the whole
+    buffer — never a Python loop over tokens."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.uint64)
+    if pa.types.is_large_string(flat.type):
+        flat = flat.cast(pa.string())
+    voff = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset: flat.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    seg = data[voff[0]: voff[-1]]
+    if len(seg) == 0 or seg.max() < 0x80:
+        lens = np.diff(voff)
+        starts = voff[:-1] - voff[0]
+        return lens, starts, seg.astype(np.uint64)
+    cp = np.frombuffer(
+        bytes(seg).decode("utf-8").encode("utf-32-le"), dtype="<u4"
+    ).astype(np.uint64)
+    lens = pc.utf8_length(flat).cast(pa.int64()).to_numpy()
+    starts = np.cumsum(lens) - lens
+    return lens, starts, cp
+
+
+def _sql_hash(flat: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 token hash matching `token_hash_sql` bit for bit."""
+    lens, starts, cp = _codepoints(flat)
+    h = np.full(len(lens), np.uint64(_FNV_BASIS), dtype=np.uint64)
+    if len(cp):
+        prime = np.uint64(_FNV_PRIME)
+        with np.errstate(over="ignore"):
+            for j in range(int(lens.max())):
+                active = np.nonzero(lens > j)[0]
+                idx = starts[active] + j
+                h[active] = (h[active] ^ cp[idx]) * prime
+            z = h
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(_MIX1)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX2)
+            h = z ^ (z >> np.uint64(31))
+    return h
+
+
+# Unicode White_Space as an RE2 class: \p{Z} (Zs+Zl+Zp) + the ASCII
+# controls + NEL — the exact set pyarrow's utf8_split_whitespace splits
+# on, so SQL tokenization matches `_flat_tokens` on every input.
+_WS_REGEX = r"[\p{Z}\x09-\x0d\x85]+"
+
+
+def tokens_sql(text_expr: str) -> str:
+    """SQL list expr: whitespace tokens of `text_expr`, empties dropped
+    (mirrors _flat_tokens)."""
+    return (f"list_filter(string_split_regex({text_expr}, '{_WS_REGEX}'), "
+            f"t -> t <> '')")
+
+
+def _mulmod64_sql(z_expr: str, c: int) -> str:
+    """SQL for (z * c) mod 2^64 on a HUGEINT-valued expr. A direct
+    product of two ~2^64 values overflows INT128, so multiply the 32-bit
+    halves separately (every partial stays under 2^96)."""
+    return (f"(((({z_expr}) % 4294967296) * {c}"
+            f" + (((({z_expr}) // 4294967296) * {c}) % 4294967296)"
+            f" * 4294967296) % {_M64}::HUGEINT)")
+
+
+def token_hash_sql_ctes(tok_source: str, extra_cols: str = "") -> str:
+    """CTE chain computing `h` (UBIGINT == _sql_hash) for every row of
+    `tok_source`, a relation with a `tok` column; `extra_cols` (e.g.
+    'doc_id, pos,') are carried through. GENERATED from the engine's own
+    constants. Ends with a CTE named `th`."""
+    # FNV fold: acc < 2^64 and the prime is 2^40, so the plain product
+    # fits INT128; the splitmix mixers are ~2^64 and need _mulmod64_sql.
+    return f"""h0 AS (
+  SELECT {extra_cols} list_reduce(
+    list_prepend({_FNV_BASIS}::HUGEINT,
+      list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT)),
+    (a, b) -> ((xor(a::UBIGINT, b::UBIGINT))::HUGEINT * {_FNV_PRIME})
+              % {_M64}::HUGEINT) AS z
+  FROM {tok_source}
+), h1 AS (
+  SELECT {extra_cols}
+         {_mulmod64_sql("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT", _MIX1)}
+         AS z FROM h0
+), h2 AS (
+  SELECT {extra_cols}
+         {_mulmod64_sql("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT", _MIX2)}
+         AS z FROM h1
+), th AS (
+  SELECT {extra_cols} xor(z::UBIGINT, z::UBIGINT >> 31) AS h FROM h2
+)"""
+
+
+def simhash_sig_ctes(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """CTE chain ending in `sig(id, u)`: the unsigned 64-bit simhash of
+    every row of `table` (docs with zero tokens get u = 0), matching
+    `simhash` bit for bit."""
+    bit_terms = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return f"""WITH toks AS (
+  SELECT {id_col} AS id, unnest({tokens_sql(text_col)}) AS tok FROM {table}
+), {token_hash_sql_ctes("toks", "id,")}, rawsig AS (
+  SELECT id, {bit_terms} AS u FROM th GROUP BY id
+), sig AS (
+  SELECT d.{id_col} AS id, coalesce(r.u, 0::HUGEINT) AS u
+  FROM {table} d LEFT JOIN rawsig r ON d.{id_col} = r.id
+)"""
+
+
+def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB SQL reproducing `simhash` exactly (int64 = two's-complement
+    reinterpret of the unsigned signature, matching astype(int64))."""
+    return f"""{simhash_sig_ctes(table, text_col, id_col)}
+SELECT id AS {id_col},
+       (CASE WHEN u >= {1 << 63}::HUGEINT THEN u::HUGEINT - {_M64}::HUGEINT
+             ELSE u::HUGEINT END)::BIGINT AS simhash
+FROM sig ORDER BY id"""
+
+
+def neardup_simhash_oracle_sql(max_hamming: int, table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB SQL reproducing `neardup_simhash` exactly: brute-force all
+    pairs, XOR-popcount filter (the engine's pigeonhole banding is a
+    candidate-generation strategy, not a semantics change)."""
+    return f"""{simhash_sig_ctes(table, text_col, id_col)}
+SELECT s1.id AS a, s2.id AS b,
+       bit_count(xor(s1.u::UBIGINT, s2.u::UBIGINT))::BIGINT AS hamming
+FROM sig s1 JOIN sig s2 ON s1.id < s2.id
+WHERE bit_count(xor(s1.u::UBIGINT, s2.u::UBIGINT)) <= {max_hamming}
+ORDER BY a, b"""
+
+
+def fingerprint_oracle_sql(table: str = "documents", text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB SQL reproducing `fingerprint` exactly: ordered polynomial
+    fold of the per-token hashes mod 2^61-1 (docs with no tokens -> 0)."""
+    m = int(_MERSENNE)
+    return f"""WITH toks AS (
+  SELECT {id_col} AS id, unnest(l) AS tok,
+         unnest(range(1, len(l) + 1)) AS pos
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS l FROM {table})
+), {token_hash_sql_ctes("toks", "id, pos,")}, fp AS (
+  SELECT id, list_reduce(
+    list_prepend(0::HUGEINT,
+                 list((h % {m})::HUGEINT ORDER BY pos)),
+    (a, b) -> (a * 1000003 + b) % {m}) AS fp
+  FROM th GROUP BY id
+)
+SELECT d.{id_col}, coalesce(f.fp, 0)::BIGINT AS fp
+FROM {table} d LEFT JOIN fp f ON d.{id_col} = f.id
+ORDER BY d.{id_col}"""
+
+
+# --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
 
@@ -353,13 +535,15 @@ def _flat_tokens(txt) -> tuple[np.ndarray, "pa.Array"]:
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Order-sensitive document fingerprint: polynomial rolling hash of
     the token-hash sequence (Rabin-Karp over tokens, mod 2^61-1).
-    Deterministic across processes; swapping two tokens changes it."""
+    Deterministic across processes; swapping two tokens changes it.
+    Token hashes use the SQL-recomputable `_sql_hash`, so
+    `fingerprint_oracle_sql` reproduces this exactly in DuckDB."""
 
     def f(b: pa.Table) -> pa.Table:
         lens, flat = _flat_tokens(b.column(text_col))
         fp = np.zeros(len(lens), dtype=np.uint64)
         if len(flat):
-            th = _stable_hash(flat) % _MERSENNE
+            th = _sql_hash(flat) % _MERSENNE
             base = np.uint64(1000003)
             # sequential fold per doc: fp = fp*base + h (vectorized over
             # docs at each token position)
@@ -368,7 +552,19 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
             for j in range(maxlen):
                 active = lens > j
                 idx = starts[active] + j
-                fp[active] = (fp[active] * base + th[idx]) % _MERSENNE
+                # fp*base is up to 2^81 — a plain uint64 product wraps
+                # BEFORE the mod and silently changes the hash. Exact
+                # mod-M via the Mersenne identity 2^61 = 1 (mod M):
+                # fp = hi*2^30 + lo; hi*base*2^30 = a*2^61 + b*2^30
+                # = a + b*2^30 (mod M). Every intermediate < 2^62.
+                f_ = fp[active]
+                hi, lo = f_ >> np.uint64(30), f_ & np.uint64((1 << 30) - 1)
+                t1 = hi * base  # < 2^51
+                a = t1 >> np.uint64(31)
+                bb = (t1 & np.uint64((1 << 31) - 1)) << np.uint64(30)
+                fp[active] = (
+                    (a + bb) % _MERSENNE + lo * base + th[idx]
+                ) % _MERSENNE
         return pa.table({id_col: b.column(id_col), "fp": fp.astype(np.int64)})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
@@ -866,14 +1062,16 @@ def neardup_minhash(ds, tau: float = 0.8, text_col: str = "text",
 
 def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
     """64-bit SimHash over token hashes: per bit, sum +/-1 across tokens,
-    sign gives the bit. Near-identical docs differ in few bits."""
+    sign gives the bit. Near-identical docs differ in few bits. Token
+    hashes use the SQL-recomputable `_sql_hash`, so `simhash_oracle_sql`
+    / `neardup_simhash_oracle_sql` reproduce this exactly in DuckDB."""
 
     def f(b: pa.Table) -> pa.Table:
         lens, flat = _flat_tokens(b.column(text_col))
         n = len(lens)
         acc = np.zeros((n, 64), dtype=np.int64)
         if len(flat):
-            th = _stable_hash(flat)
+            th = _sql_hash(flat)
             bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
             contrib = 2 * bits - 1
             doc_idx = np.repeat(np.arange(n), lens)

@@ -420,3 +420,50 @@ def test_jaccard_positional_filter_exact_vs_naive(ray_session, tau):
     ps = set(zip(pref["a"], pref["b"]))
     assert ns == ps
     assert len(ns) > 0  # the fixture must actually produce pairs
+
+
+def test_sql_hash_matches_generated_duckdb_sql():
+    """textops._sql_hash (FNV-1a over code points + splitmix64) must
+    match the GENERATED DuckDB SQL bit for bit — including multi-byte
+    and astral code points (bulk utf-32 fallback) and 40-char tokens."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from geograft.textops import _sql_hash, token_hash_sql_ctes
+
+    toks = ["a", "hello", "h\xe9llo", "\U0001d11eclef", "xyzzy123", "\xe9",
+            "日本語", "mixed\xe9日\U0001d11e", "z" * 40, "0"]
+    eng = _sql_hash(pa.array(toks))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"tok": toks}))
+    got = dict(con.sql(
+        f"WITH {token_hash_sql_ctes('t', 'tok,')} SELECT tok, h FROM th"
+    ).fetchall())
+    assert all(int(got[t]) == int(e) for t, e in zip(toks, eng))
+
+
+def test_tokens_sql_matches_flat_tokens_on_unicode_whitespace():
+    """tokens_sql's RE2 class [\\p{Z}\\x09-\\x0d\\x85] must split exactly
+    like pc.utf8_split_whitespace (Unicode White_Space), including
+    \\x0b, \\xa0 and U+3000 — the cases an ASCII \\s would miss."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from geograft.textops import _flat_tokens, tokens_sql
+
+    texts = ["hello  world", " lead trail ", "a\x0bb", "a\xa0b", "x y",
+             "", "   ", "one", "t　u", "p qr"]
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": range(len(texts)),
+                                    "text": texts}))
+    sql_toks = [r[1] for r in con.sql(
+        f"SELECT doc_id, {tokens_sql('text')} FROM d ORDER BY doc_id"
+    ).fetchall()]
+    lens, flat = _flat_tokens(pa.array(texts))
+    flat = flat.to_pylist()
+    pos = np.cumsum(lens) - lens
+    eng_toks = [flat[pos[i]: pos[i] + lens[i]] for i in range(len(texts))]
+    assert sql_toks == eng_toks
