@@ -459,7 +459,7 @@ def query_index_box_nd(path: str, lo, hi):
     hi = np.asarray(hi, dtype=np.float64)
     files = []
     for p in man["partitions"].values():
-        if p["rows"] == 0:
+        if live_rows(p) == 0:
             continue
         plo = np.asarray(p["lo"])
         phi = np.asarray(p["hi"])
@@ -469,7 +469,7 @@ def query_index_box_nd(path: str, lo, hi):
         return None
     import ray.data as rd
 
-    ds = rd.read_parquet(files)
+    ds = filter_tombstones(rd.read_parquet(files), load_tombstones(path, man))
     return ops.locate_in_box_nd(ds, axes, lo.tolist(), hi.tolist())
 
 
@@ -481,7 +481,7 @@ def query_index_within_distance_nd(path: str, center, r2: float):
     c = np.asarray(center, dtype=np.float64)
     files = []
     for p in man["partitions"].values():
-        if p["rows"] == 0:
+        if live_rows(p) == 0:
             continue
         plo = np.asarray(p["lo"])
         phi = np.asarray(p["hi"])
@@ -492,7 +492,7 @@ def query_index_within_distance_nd(path: str, center, r2: float):
         return None
     import ray.data as rd
 
-    ds = rd.read_parquet(files)
+    ds = filter_tombstones(rd.read_parquet(files), load_tombstones(path, man))
     return ops.locate_within_distance_nd(ds, axes, c.tolist(), r2)
 
 
@@ -709,18 +709,19 @@ def read_index(path: str, columns: list[str] | None = None):
     return filter_tombstones(ds, load_tombstones(path, man))
 
 
-def _write_cell_dels(path: str, cid: int, new_ids: np.ndarray,
-                     id_col: str = "id") -> int:
+def _write_cell_dels(path: str, cid: int, new_ids: np.ndarray) -> int:
     """Merge ids into del-{cid}.parquet (atomic publish); returns the
-    TOTAL deleted count for the cell."""
+    TOTAL deleted count for the cell. The del-file column is ALWAYS
+    named "id" whatever the index's id column is called —
+    load_tombstones reads it by that name."""
     f = os.path.join(path, _del_name(cid))
     if os.path.exists(f):
-        old = pq.read_table(f).column(id_col).to_numpy()
+        old = pq.read_table(f).column(0).to_numpy()
         merged = np.union1d(old, new_ids)
     else:
         merged = np.unique(new_ids)
     tmp = f + ".tmp"
-    pq.write_table(pa.table({id_col: merged}), tmp)
+    pq.write_table(pa.table({"id": merged}), tmp)
     os.replace(tmp, f)
     return len(merged)
 
@@ -749,8 +750,12 @@ def tombstone_index(path: str, sel_rows, prune_partition=None,
     for cid, p in man["partitions"].items():
         if live_rows(p) > 0:
             files.append(os.path.join(path, p["file"]))
-            plo.append([p["minx"], p["miny"]])
-            pup.append([p["maxx"], p["maxy"]])
+            if "lo" in p:  # n-d manifest (per-axis envelope lists)
+                plo.append(list(p["lo"]))
+                pup.append(list(p["hi"]))
+            else:
+                plo.append([p["minx"], p["miny"]])
+                pup.append([p["maxx"], p["maxy"]])
     if prune_partition is not None and files:
         mask = np.asarray(prune_partition(np.asarray(plo), np.asarray(pup)),
                           dtype=bool)
@@ -789,7 +794,7 @@ def tombstone_index(path: str, sel_rows, prune_partition=None,
         for cid_v, grp in pd.DataFrame(
                 {"cell_id": cells[sel], id_col: ids[sel]}).groupby("cell_id"):
             total = _write_cell_dels(path, int(cid_v),
-                                     grp[id_col].to_numpy(), id_col)
+                                     grp[id_col].to_numpy())
             man["partitions"][str(int(cid_v))]["deleted"] = total
     else:
         # drain-all: distributed del writes, one task per coarse bucket
@@ -811,7 +816,7 @@ def tombstone_index(path: str, sel_rows, prune_partition=None,
             for gi in range(len(bnd) - 1):
                 cid = int(cs[bnd[gi]])
                 total = _write_cell_dels(
-                    path, cid, ids[order[bnd[gi]:bnd[gi + 1]]], id_col)
+                    path, cid, ids[order[bnd[gi]:bnd[gi + 1]]])
                 out.append({"cell_id": cid, "deleted": total})
             return pd.DataFrame(out)
 
@@ -872,16 +877,19 @@ def drain_index_in_envelope(path: str, qminx, qminy, qmaxx, qmaxy,
     return tombstone_index(path, sel, prune_partition=prune)
 
 
-def compact_index(path: str) -> dict:
+def compact_index(path: str, id_col: str = "id") -> dict:
     """Fold pending tombstones into the data files: rewrite each touched
     partition without its dead rows (atomic), recompute its envelope,
     drop emptied partitions entirely (the reference drops emptied nodes,
     removal.rs:137-139), clear the del files, update the manifest.
     One Ray task per group of touched cells — the rewrite is
-    distributed, the driver only touches the manifest."""
+    distributed, the driver only touches the manifest. Dimension-
+    generic: a manifest with ``axes`` (n-d point index) recomputes the
+    per-axis lo/hi envelope instead of minx..maxy."""
     import ray.data as rd
 
     man = load_manifest(path)
+    axes = man.get("axes")  # None for the 2-d envelope index
     touched = [int(c) for c, p in man["partitions"].items()
                if p.get("deleted", 0) > 0]
     if not touched:
@@ -895,22 +903,30 @@ def compact_index(path: str) -> dict:
             dfile = os.path.join(path, _del_name(cid))
             dl = pq.read_table(dfile).column("id").to_numpy()
             t = pq.read_table(fname)
-            keep = ~np.isin(t.column("id").to_numpy(), dl)
+            keep = ~np.isin(t.column(id_col).to_numpy(), dl)
             t2 = t.filter(pa.array(keep))
             if len(t2) == 0:
                 os.remove(fname)
                 rec = {"cell_id": cid, "rows": 0, "bytes": 0,
-                       "minx": 0.0, "miny": 0.0, "maxx": 0.0, "maxy": 0.0}
+                       "env": json.dumps([])}
             else:
                 tmp = fname + ".tmp"
                 pq.write_table(t2, tmp)
                 os.replace(tmp, fname)
+                if axes is not None:
+                    cols = [t2.column(c).to_numpy() for c in axes]
+                    env = [[float(v.min()) for v in cols],
+                           [float(v.max()) for v in cols]]
+                else:
+                    env = [
+                        [float(t2.column("minx").to_numpy().min()),
+                         float(t2.column("miny").to_numpy().min())],
+                        [float(t2.column("maxx").to_numpy().max()),
+                         float(t2.column("maxy").to_numpy().max())],
+                    ]
                 rec = {"cell_id": cid, "rows": len(t2),
                        "bytes": os.path.getsize(fname),
-                       "minx": float(t2.column("minx").to_numpy().min()),
-                       "miny": float(t2.column("miny").to_numpy().min()),
-                       "maxx": float(t2.column("maxx").to_numpy().max()),
-                       "maxy": float(t2.column("maxy").to_numpy().max())}
+                       "env": json.dumps(env)}
             os.remove(dfile)
             out.append(rec)
         return pa.Table.from_pylist(out)
@@ -921,14 +937,19 @@ def compact_index(path: str) -> dict:
         key = str(int(r.cell_id))
         if int(r.rows) == 0:
             del man["partitions"][key]
+            continue
+        env = json.loads(r.env)
+        rec = {
+            "file": f"part-{int(r.cell_id)}.parquet",
+            "rows": int(r.rows), "bytes": int(r.bytes),
+            "wall_ms": man["partitions"][key].get("wall_ms", 0.0),
+        }
+        if axes is not None:
+            rec["lo"], rec["hi"] = env[0], env[1]
         else:
-            man["partitions"][key] = {
-                "file": f"part-{int(r.cell_id)}.parquet",
-                "rows": int(r.rows), "bytes": int(r.bytes),
-                "wall_ms": man["partitions"][key].get("wall_ms", 0.0),
-                "minx": float(r.minx), "miny": float(r.miny),
-                "maxx": float(r.maxx), "maxy": float(r.maxy),
-            }
+            rec["minx"], rec["miny"] = env[0]
+            rec["maxx"], rec["maxy"] = env[1]
+        man["partitions"][key] = rec
     man["total_rows"] = sum(p["rows"] for p in man["partitions"].values())
     man["deleted_rows"] = 0
     man["live_rows"] = man["total_rows"]

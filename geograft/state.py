@@ -381,6 +381,25 @@ def _cell_knn_2d(batch: pa.Table, rt: dict, k: int) -> pa.Table:
                      "dist2": np.concatenate(out_d)})
 
 
+def _drop_tombstoned(t: pa.Table, dels: dict | None,
+                     id_col: str = "id") -> pa.Table:
+    """Filter pending-tombstone rows out of concatenated partition rows
+    (shared by the 2-d and n-d raw-task kNN paths)."""
+    if not dels:
+        return t
+    cells = t.column("cell_id").to_numpy()
+    ids = t.column(id_col).to_numpy()
+    keep = np.ones(len(t), dtype=bool)
+    for cid in np.unique(cells):
+        d = dels.get(int(cid))
+        if d is not None:
+            m = cells == cid
+            keep[m] = ~np.isin(ids[m], d)
+    if not keep.all():
+        t = t.filter(pa.array(keep))
+    return t
+
+
 def _knn_file_task(paths: list, rt: dict, k: int, dels: dict) -> pa.Table:
     """Ray task: read a group of partition files, drop tombstoned rows,
     run the kNN kernel. One task per file group — no streaming-executor
@@ -388,18 +407,7 @@ def _knn_file_task(paths: list, rt: dict, k: int, dels: dict) -> pa.Table:
     t = pa.concat_tables([
         pq.read_table(p, columns=["id", "cell_id", "minx", "miny",
                                   "maxx", "maxy"]) for p in paths])
-    if dels:
-        cells = t.column("cell_id").to_numpy()
-        ids = t.column("id").to_numpy()
-        keep = np.ones(len(t), dtype=bool)
-        for cid in np.unique(cells):
-            d = dels.get(int(cid))
-            if d is not None:
-                m = cells == cid
-                keep[m] = ~np.isin(ids[m], d)
-        if not keep.all():
-            t = t.filter(pa.array(keep))
-    return _cell_knn_2d(t, rt, k)
+    return _cell_knn_2d(_drop_tombstoned(t, dels), rt, k)
 
 
 # task handle cache (ray.remote() re-exports the function per call)
@@ -736,11 +744,12 @@ def _cell_knn_nd(batch: pa.Table, rt: dict, k: int, axes: list,
 
 
 def _knn_file_task_nd(paths: list, rt: dict, k: int, axes: list,
-                      id_col: str) -> pa.Table:
-    """Ray task: read a file group of the n-d index, run the kernel."""
+                      id_col: str, dels: dict | None = None) -> pa.Table:
+    """Ray task: read a file group of the n-d index, drop tombstoned
+    rows, run the kernel."""
     t = pa.concat_tables([
         pq.read_table(p, columns=[id_col, "cell_id", *axes]) for p in paths])
-    return _cell_knn_nd(t, rt, k, axes, id_col)
+    return _cell_knn_nd(_drop_tombstoned(t, dels, id_col), rt, k, axes, id_col)
 
 
 _KNN_TASK_ND = None
@@ -761,13 +770,17 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
 
     from .ops import _topk_cols_per_row, _topk_per_qid
 
+    from .pipeline import filter_tombstones, live_rows, load_tombstones
+
     man = load_manifest(index_path)
     axes = man["axes"]
     d = len(axes)
+    # live counts (net of tombstones): candidate-availability proofs
+    # must not count dead rows — same contract as _manifest_arrays
     cids, counts, plo, pup = [], [], [], []
     for cid, p in man["partitions"].items():
-        if p["rows"] > 0:
-            cids.append(int(cid)); counts.append(p["rows"])
+        if live_rows(p) > 0:
+            cids.append(int(cid)); counts.append(live_rows(p))
             plo.append(p["lo"]); pup.append(p["hi"])
     cids = np.asarray(cids, dtype=np.int64)
     counts = np.asarray(counts, dtype=np.int64)
@@ -780,6 +793,9 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
     qid = queries.column("qid").to_numpy()
     qc = np.stack([queries.column(c).to_numpy().astype(np.float64) for c in axes],
                   axis=1)
+
+    dels = load_tombstones(index_path, man)
+    dels_ref = ray.put(dels) if dels else None
 
     def run_pass(qi, pi) -> list:
         if len(qi) == 0:
@@ -805,7 +821,8 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
             paths = [files[c] for c in touched]
             ngrp = min(len(paths), 4 * cluster_cpus())
             groups = [paths[i::ngrp] for i in range(ngrp)]
-            out = ray.get([_KNN_TASK_ND.remote(g, rref, k, axes, id_col)
+            out = ray.get([_KNN_TASK_ND.remote(g, rref, k, axes, id_col,
+                                               dels_ref)
                            for g in groups if g])
             return [t for t in out if t.num_rows > 0]
         ds = rd.read_parquet(
@@ -813,6 +830,7 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
             columns=[id_col, "cell_id", *axes],
             override_num_blocks=min(64, len(touched)),
         )
+        ds = filter_tombstones(ds, dels, id_col)
         cand = ds.map_batches(
             lambda b, r=rref: _cell_knn_nd(b, ray.get(r), k, axes, id_col),
             batch_format="pyarrow", batch_size=None)

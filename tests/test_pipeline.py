@@ -446,3 +446,91 @@ def test_read_table_sized_dispatch(ray_session, sf_small, tmp_path):
     except ImportError:
         with _pytest.raises(ImportError, match="Lance"):
             io.read_table_sized(str(lance_dir))
+
+
+def test_nd_index_tombstones_every_query_surface(ray_session, sf_small, tmp_path):
+    """removal.rs:257-302 round-trip, n-d edition: tombstone a slab of
+    the 3-d index, then EVERY indexed query surface (box, within-
+    distance, kNN, selection-function on the 2-d twin) must agree with
+    brute force over survivors — pre-compaction (pending tombstones)
+    AND post-compaction (files rewritten, emptied partitions dropped)."""
+    import pyarrow as pa
+
+    from geograft import ops, state as ST
+
+    path = str(tmp_path / "idx3t")
+    pts = FX.points3d_ds(sf_small)
+    pipeline.build_partitioned_index_nd(
+        pts, path, ["x", "y", "z"], base_level=1, bounds=FX.POINTS3D_BOUNDS,
+        target_rows=100,
+    )
+    raw = pts.to_pandas()
+
+    # drain a slab: every row with x < 60 (cuts across partitions)
+    def sel(b):
+        return b.column("x").to_numpy() < 60.0
+
+    man = pipeline.tombstone_index(path, sel)
+    dead = raw["id"][raw["x"].to_numpy() < 60.0].to_numpy()
+    assert man["deleted_rows"] == len(dead) > 0
+    live = raw[~raw["id"].isin(dead)]
+
+    def check_all_surfaces():
+        # box query over a window spanning dead and live rows
+        lo, hi = [5.0, 10.0, 3.0], [200.0, 80.0, 60.0]
+        got = pipeline.query_index_box_nd(path, lo, hi).to_pandas()
+        m = np.ones(len(live), dtype=bool)
+        for i, c in enumerate(["x", "y", "z"]):
+            m &= (live[c].to_numpy() >= lo[i]) & (live[c].to_numpy() <= hi[i])
+        assert set(got["id"]) == set(live["id"][m])
+
+        # within-distance centered inside the drained slab
+        c, r2 = [50.0, 50.0, 48.0], 4000.0
+        got2 = pipeline.query_index_within_distance_nd(path, c, r2)
+        got2 = got2.to_pandas() if got2 is not None else None
+        d2 = np.zeros(len(live))
+        for i, col in enumerate(["x", "y", "z"]):
+            dx = live[col].to_numpy() - c[i]
+            d2 += dx * dx
+        assert set(got2["id"]) == set(live["id"][d2 <= r2])
+
+        # kNN from inside the slab returns nearest SURVIVORS, both
+        # planner passes live-count-aware
+        order = np.lexsort((live["id"].to_numpy(), d2))[:5]
+        q = pa.table({"qid": [0], "x": [c[0]], "y": [c[1]], "z": [c[2]]})
+        got_knn = ST.knn_on_index_nd(path, q, k=5)["id"].to_numpy()
+        np.testing.assert_array_equal(got_knn, live["id"].to_numpy()[order])
+
+    check_all_surfaces()  # pending tombstones
+    man2 = pipeline.compact_index(path)
+    assert man2["deleted_rows"] == 0 and man2["total_rows"] == len(live)
+    pipeline.sanity_check_index_nd(path, expected_rows=len(live))
+    check_all_surfaces()  # compacted
+
+
+def test_index_selection_function_sees_tombstones(ray_session, sf_small, tmp_index):
+    """query_index_with_selection_function must filter pending
+    tombstones like every other surface (SelectionFunction protocol over
+    a partially-drained index)."""
+    src = FX.points_ds(sf_small)
+    pipeline.build_partitioned_index(
+        src, tmp_index, base_level=4, bounds=FX.POINTS_BOUNDS
+    )
+    df = src.to_pandas()
+    env = (5.0, 10.0, 20.0, 40.0)
+    pipeline.drain_index_in_envelope(tmp_index, *env)
+    in_env = ((df["x"] >= env[0]) & (df["y"] >= env[1])
+              & (df["x"] <= env[2]) & (df["y"] <= env[3]))
+    live = df[~in_env]
+
+    def keep_rows(b):
+        return b.column("x").to_numpy() < 100.0
+
+    def prune(lo, up):
+        return lo[:, 0] < 100.0
+
+    out, n_read, n_total = pipeline.query_index_with_selection_function(
+        tmp_index, keep_rows, prune_partition=prune)
+    assert 0 < n_read < n_total
+    want = live["id"][live["x"].to_numpy() < 100.0]
+    assert set(out.to_pandas()["id"]) == set(want)
