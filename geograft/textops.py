@@ -770,7 +770,6 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
     from .scale import shuffle_buckets
 
     nb = n_buckets or shuffle_buckets(pairs_ds, lookup_ds)
-    nbu = np.uint64(nb)
     lk_schema = lookup_ds.schema()
     lk_type = dict(zip(lk_schema.names, lk_schema.types))[lookup_col]
 
@@ -780,8 +779,7 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
                              "a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
                              "__slot": pa.array([], type=pa.int8()),
-                             "__v": pa.array([], type=lk_type),
-                             "__bucket": pa.array([], type=pa.int64())})
+                             "__v": pa.array([], type=lk_type)})
         a = b.column("a").to_numpy()
         bb = b.column("b").to_numpy()
         keys = np.concatenate([a, bb])
@@ -792,9 +790,6 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
             "__slot": pa.array(
                 np.repeat(np.array([0, 1], dtype=np.int8), len(a))),
             "__v": pa.nulls(2 * len(a), type=lk_type),
-            "__bucket": pa.array(
-                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % nbu).astype(np.int64)),
         }
         return pa.table(out)
 
@@ -807,12 +802,9 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
             "b": pa.nulls(n, type=pa.int64()),
             "__slot": pa.array(np.full(n, 2, dtype=np.int8)),
             "__v": b.column(lookup_col),
-            "__bucket": pa.array(
-                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % nbu).astype(np.int64)),
         })
 
-    cols = ["__k", "a", "b", "__slot", "__v", "__bucket"]
+    cols = ["__k", "a", "b", "__slot", "__v"]
     both = (
         pairs_ds.map_batches(tag_pairs, batch_format="pyarrow", batch_size=None)
         .select_columns(cols)
@@ -864,7 +856,12 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
             "__pb": pa.array(_pair_bucket(a, b, nb)),
         })
 
-    halves = both.groupby("__bucket").map_groups(annotate, batch_format="pyarrow")
+    from . import ops as _ops
+
+    # both exchanges ride the sort-free direct split+gather when the
+    # stream fits (auto falls back to the streaming sorted groupby)
+    halves = _ops.coarse_group_by_cell(both, annotate, key_col="__k",
+                                       n_buckets=nb)
 
     def pivot(g: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], type=pa.int64()),
@@ -890,7 +887,8 @@ def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
             out_b: gb_t.column("__v").take(ib),
         })
 
-    return halves.groupby("__pb").map_groups(pivot, batch_format="pyarrow")
+    return _ops.coarse_group_by_cell(halves, pivot, key_col="__pb",
+                                     n_buckets=nb)
 
 
 def _exact_jaccard_cols(text_a, text_b, k: int = 3) -> np.ndarray:
@@ -1198,10 +1196,10 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
     algebra (quadratic on a hot shingle) for test cross-checks.
     """
 
+    from . import ops as _ops
     from .scale import shuffle_buckets
 
     nb = shuffle_buckets(ds)
-    nbu = np.uint64(nb)
 
     def shingles(b: pa.Table) -> pa.Table:
         doc_idx, sh = _shingle_hashes(b.column(text_col), k)
@@ -1224,7 +1222,6 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
             id_col: ids,
             "sh": sh.astype(np.int64),
             "sz": sizes[doc_idx].astype(np.int64),
-            "__bucket": (sh % nbu).astype(np.int64),
         }
         if prefix_filter and df_cap is None:
             # position = rank of the shingle in the doc's ascending
@@ -1235,13 +1232,14 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
 
     sh_ds = ds.map_batches(shingles, batch_format="pyarrow", batch_size=None)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
         """Vectorized self-merge on the exact shingle hash. All rows of
         one shingle are co-located here, so its true document frequency
         is computable in place — the df_cap guard drops hot shingles
         BEFORE the quadratic merge."""
-        has_pos = "pos" in g.columns
-        g = g[[id_col, "sh", "sz", *(["pos"] if has_pos else [])]]
+        has_pos = "pos" in g.column_names
+        g = g.select([id_col, "sh", "sz", *(["pos"] if has_pos else [])]
+                     ).to_pandas()
         if df_cap is not None:
             df = g.groupby("sh", sort=False)["sh"].transform("size")
             g = g[df <= df_cap]
@@ -1260,7 +1258,7 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
             # per-pair max matched-prefix positions (positions are hash
             # ranks, so the max-hash counted common holds the max
             # position in BOTH docs — these maxes feed a sound PPJoin
-            # positional bound in cand_filter)
+            # positional bound in the pair-sum stage)
             aggs["mpa"] = ("pos_a", "max")
             aggs["mpb"] = ("pos_b", "max")
         out = (
@@ -1271,55 +1269,53 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         out = out.rename(columns={f"{id_col}_a": "a", f"{id_col}_b": "b"})
         out["__pb"] = _pair_bucket(out["a"].to_numpy(dtype=np.int64),
                                    out["b"].to_numpy(dtype=np.int64), nb)
-        return out
+        # metadata-free schema: pandas metadata breaks pa.Schema hashing
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
-    partial = sh_ds.groupby("__bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # shingle-hash exchange: sort-free two-wave direct split+gather when
+    # the input fits (the spatial_join round-3 win — Ray's sort-based
+    # groupby was ~half this pipeline's wall), sorted streaming groupby
+    # beyond the gate
+    partial = _ops.coarse_group_by_cell(sh_ds, bucket_pairs, key_col="sh",
+                                        n_buckets=nb)
 
-    # sum intersections per pair: coarse-partitioned on the pair hash,
-    # vectorized pandas groupby-sum per partition (Ray's multi-key
-    # aggregate is per-key Python — avoid it)
-    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # sum intersections per pair, FUSED with the threshold/bound filter:
+    # the pair-sum exchange carries ~df^2 partial rows; emitting the
+    # filtered result from the same task avoids materializing the
+    # summed-pair stream (measured 17M rows -> 52k survivors on the
+    # 200k-doc suite corpus) into a second stage
+    def sum_pairs_filter(g: pa.Table) -> pa.Table:
+        naive = df_cap is None and not prefix_filter
+        empty_cols = {"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())}
+        if naive:
+            empty_cols["jaccard"] = pa.array([], type=pa.float64())
+        if g.num_rows == 0 or "a" not in g.column_names:
+            return pa.table(empty_cols)
+        has_pos = "mpa" in g.column_names
+        cols = ["a", "b", "c", "sa", "sb", *(["mpa", "mpb"] if has_pos else [])]
         aggs = {"c": ("c", "sum"), "sa": ("sa", "first"),
                 "sb": ("sb", "first")}
-        if "mpa" in g.columns:
+        if has_pos:
             aggs["mpa"] = ("mpa", "max")
             aggs["mpb"] = ("mpb", "max")
-        out = g.groupby(["a", "b"], sort=False).agg(**aggs).reset_index()
-        return out
-
-    inter = partial.groupby("__pb").map_groups(sum_pairs, batch_format="pandas")
-
-    if df_cap is None and not prefix_filter:
-        def finalize(b: pa.Table) -> pa.Table:
-            if len(b) == 0:
-                return pa.table({"a": pa.array([], type=pa.int64()),
-                                 "b": pa.array([], type=pa.int64()),
-                                 "jaccard": pa.array([], type=pa.float64())})
-            a = b.column("a").to_numpy()
-            bb = b.column("b").to_numpy()
-            c = b.column("c").to_numpy()
-            sa = b.column("sa").to_numpy()
-            sb = b.column("sb").to_numpy()
+        out = (g.select(cols).to_pandas()
+               .groupby(["a", "b"], sort=False).agg(**aggs).reset_index())
+        a = out["a"].to_numpy(dtype=np.int64)
+        bb = out["b"].to_numpy(dtype=np.int64)
+        c = out["c"].to_numpy(dtype=np.float64)
+        sa = out["sa"].to_numpy(dtype=np.float64)
+        sb = out["sb"].to_numpy(dtype=np.float64)
+        if naive:
+            # full index: the summed c IS the exact intersection
             jac = c / (sa + sb - c)
             keep = jac >= tau
-            return pa.table({"a": a[keep], "b": bb[keep], "jaccard": jac[keep]})
-
-        return inter.map_batches(finalize, batch_format="pyarrow", batch_size=None)
-
-    # df_cap / prefix_filter path: the reduced index undercounts
-    # intersections (hot shingles dropped / suffix shingles unindexed),
-    # so candidates go through the exact verification join instead of
-    # the in-place algebra
-    def cand_filter(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        c = b.column("c").to_numpy().astype(np.float64)
-        sa = b.column("sa").to_numpy().astype(np.float64)
-        sb = b.column("sb").to_numpy().astype(np.float64)
+            return pa.table({"a": a[keep], "b": bb[keep],
+                             "jaccard": jac[keep]})
         # length filter (exact): J >= tau needs min(|A|,|B|) >= tau*max
         keep = np.minimum(sa, sb) * (1.0 + 1e-12) >= tau * np.maximum(sa, sb)
-        if prefix_filter and df_cap is None and "mpa" in b.column_names:
+        if prefix_filter and df_cap is None and has_pos:
             # Remaining-overlap filter, two sound bounds combined:
             # (1) suffix bound — the smallest uncounted common is
             #     outside one doc's prefix, and hash order then forces
@@ -1336,17 +1332,24 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
             # total overlap <= c + min of both; J >= tau needs total
             # overlap >= tau/(1+tau)*(|A|+|B|). Kills the
             # one-shared-shingle candidate flood BEFORE payloads ship.
-            mpa = b.column("mpa").to_numpy().astype(np.float64)
-            mpb = b.column("mpb").to_numpy().astype(np.float64)
+            mpa = out["mpa"].to_numpy(dtype=np.float64)
+            mpb = out["mpb"].to_numpy(dtype=np.float64)
             sfx = np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
             rem = np.minimum(sa - 1.0 - mpa, sb - 1.0 - mpb)
             max_total = c + np.minimum(sfx, rem)
             keep &= max_total * (1.0 + tau) * (1.0 + 1e-12) >= tau * (sa + sb)
-        t = b.filter(pa.array(keep))
-        return pa.table({"a": t.column("a"), "b": t.column("b")})
+        return pa.table({"a": a[keep], "b": bb[keep]})
 
-    cand = inter.map_batches(cand_filter, batch_format="pyarrow", batch_size=None)
-    return verify_jaccard_pairs(cand, ds, tau, k, text_col, id_col)
+    result = _ops.coarse_group_by_cell(partial, sum_pairs_filter,
+                                       key_col="__pb", n_buckets=nb)
+    if df_cap is None and not prefix_filter:
+        return result
+
+    # df_cap / prefix_filter path: the reduced index undercounts
+    # intersections (hot shingles dropped / suffix shingles unindexed),
+    # so candidates go through the exact verification join instead of
+    # the in-place algebra
+    return verify_jaccard_pairs(result, ds, tau, k, text_col, id_col)
 
 
 def checkpointed_dedup_exact(ds, out_dir: str, text_col: str = "text",
