@@ -240,23 +240,29 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id",
     then one vectorized pandas groupby(text).min per partition — EXACT
     text equality, so hash collisions cannot corrupt the result.
     """
+    from . import ops as _ops
     from .scale import shuffle_buckets
 
-    nb = np.uint64(n_buckets or shuffle_buckets(ds))
+    nb = n_buckets or shuffle_buckets(ds)
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = _stable_hash(b.column(text_col)) % nb
+        h = _stable_hash(b.column(text_col)).astype(np.int64)
         return b.select([id_col, text_col]).append_column(
-            "__bucket", pa.array(h.astype(np.int64))
+            "__h", pa.array(h)
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(text_col, sort=False)[id_col].min().reset_index(drop=False)
-        return out[[id_col]]
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = (g.select([id_col, text_col]).to_pandas()
+               .groupby(text_col, sort=False)[id_col].min()
+               .reset_index(drop=False))
+        return pa.table({id_col: out[id_col].to_numpy(dtype=np.int64)})
 
-    return hashed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+    # content-hash exchange on the sort-free direct split+gather (equal
+    # texts share __h, so they co-locate; exact per-text dedup inside)
+    return _ops.coarse_group_by_cell(hashed, per_bucket, key_col="__h",
+                                     n_buckets=nb)
 
 
 # --------------------------------------------------------------------------
@@ -1022,34 +1028,40 @@ def neardup_minhash(ds, tau: float = 0.8, text_col: str = "text",
     dedup barrier). Reported pairs are SOUND (verified exactly); recall
     follows the LSH banding curve (tested against brute force).
     """
+    from . import ops as _ops
     from .scale import shuffle_buckets
 
-    nb = np.uint64(shuffle_buckets(ds))
+    nb = shuffle_buckets(ds)
 
     def sigs(b: pa.Table) -> pa.Table:
         s = minhash_signatures(b, text_col, id_col, k)
-        coarse = (
+        # one int64 exchange key per LSH bucket: equal (band, band_hash)
+        # => equal key => co-located by the coarse exchange
+        key = (
             s.column("band_hash").to_numpy().astype(np.uint64)
             * np.uint64(0x9E3779B97F4A7C15)
             + s.column("band").to_numpy().astype(np.uint64)
-        ) % nb
-        return s.append_column("__bucket", pa.array(coarse.astype(np.int64)))
+        ).astype(np.int64)
+        return s.append_column("__bkey", pa.array(key))
 
     sig_ds = ds.map_batches(sigs, batch_format="pyarrow", batch_size=None)
 
-    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def coarse_pairs(g: pa.Table) -> pa.Table:
         """True LSH buckets live inside this coarse partition: one
         vectorized self-merge on (band, band_hash) enumerates every
         same-bucket pair; emits ids only, pre-keyed for global dedup."""
-        g = g[[id_col, "band", "band_hash"]]
+        g = g.select([id_col, "band", "band_hash"]).to_pandas()
         m = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         a = out[f"{id_col}_a"].to_numpy(dtype=np.int64)
         b = out[f"{id_col}_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"a": a, "b": b, "__pb": _pair_bucket(a, b)})
+        return pa.table({"a": a, "b": b, "__pb": _pair_bucket(a, b)})
 
-    pairs = sig_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
+    # band exchange on the sort-free direct split+gather (auto falls
+    # back to the streaming sorted groupby past the size gate)
+    pairs = _ops.coarse_group_by_cell(sig_ds, coarse_pairs,
+                                      key_col="__bkey", n_buckets=nb)
 
     # the same pair can surface from bands in DIFFERENT coarse
     # partitions; the global dedup rides the verify join's own shuffle
@@ -1097,9 +1109,11 @@ def neardup_simhash(ds, max_hamming: int = 3, text_col: str = "text",
     (exact), SimHash (exact hamming), embedding cosine."""
     from .scale import shuffle_buckets
 
+    from . import ops as _ops
+
     nband = max_hamming + 1
     cuts = np.linspace(0, 64, nband + 1).astype(np.uint64)
-    n_buckets = np.uint64(shuffle_buckets(ds))
+    n_buckets = shuffle_buckets(ds)
     sig = simhash(ds, text_col, id_col)
 
     def bands(b: pa.Table) -> pa.Table:
@@ -1118,25 +1132,26 @@ def neardup_simhash(ds, max_hamming: int = 3, text_col: str = "text",
             ((h >> cuts[i]) & band_mask(cuts[i + 1] - cuts[i]))
             for i in range(nband)
         ]).astype(np.int64)
-        coarse = (
+        bkey = (
             keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
             + out_band.astype(np.uint64)
-        ) % n_buckets
+        ).astype(np.int64)
         return pa.table({id_col: out_id, "band": out_band, "key": keys,
-                         "__bucket": coarse.astype(np.int64)})
+                         "__bkey": bkey})
 
     band_ds = sig.map_batches(bands, batch_format="pyarrow", batch_size=None)
 
-    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[[id_col, "band", "key"]]
+    def coarse_pairs(g: pa.Table) -> pa.Table:
+        g = g.select([id_col, "band", "key"]).to_pandas()
         m = g.merge(g, on=["band", "key"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         a = out[f"{id_col}_a"].to_numpy(dtype=np.int64)
         b = out[f"{id_col}_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"a": a, "b": b, "__pb": _pair_bucket(a, b)})
+        return pa.table({"a": a, "b": b, "__pb": _pair_bucket(a, b)})
 
-    pairs = band_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
+    pairs = _ops.coarse_group_by_cell(band_ds, coarse_pairs,
+                                      key_col="__bkey", n_buckets=n_buckets)
     with_h = attach_pair_lookup(pairs, sig, id_col, "simhash", "__ha", "__hb")
 
     def fin(b: pa.Table) -> pa.Table:
