@@ -55,6 +55,12 @@ def coarse_bucket_ids(keys: np.ndarray, n_buckets: int = N_SHUFFLE) -> np.ndarra
 # split matrix (blocks x buckets refs on the driver) would not fit, so
 # big exchanges MUST stay on the sort path.
 DIRECT_EXCHANGE_MAX_BYTES = 4 << 30
+# below this input estimate the two-wave direct exchange's barriers
+# (to_arrow_refs drain + split/gather task fan) cost more than the
+# sort shuffle they replace — measured at sf0.1 (2 MB docs, 32 cpus):
+# neardup_minhash 1.3 s sorted vs 2.3 s direct; at 80 MB (suite corpus)
+# direct wins 26 s -> 8 s. Tiny exchanges stay on the streaming path.
+DIRECT_EXCHANGE_MIN_BYTES = 16 << 20
 _DIRECT_MAX_BLOCKS = 512
 _SPLIT_RT = None
 _GATHER_RT = None
@@ -123,7 +129,8 @@ def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
 
         est = input_bytes_estimate(ds)
         exchange = ("direct" if est is not None
-                    and est <= DIRECT_EXCHANGE_MAX_BYTES else "sort")
+                    and DIRECT_EXCHANGE_MIN_BYTES <= est
+                    <= DIRECT_EXCHANGE_MAX_BYTES else "sort")
 
     if exchange == "direct" and n_buckets > 1:
         import ray.data as rd
