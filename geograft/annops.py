@@ -49,6 +49,11 @@ def _cos_reduce(batch: pa.Table, k: int, id_col: str) -> pa.Table:
     return pa.table({"qid": qid[keep], id_col: ids[keep], "cos": cos[keep]})
 
 
+# below this input estimate the repartition+combine waves cost more
+# than pulling the per-block partials straight to the driver
+REDUCE_MIN_INPUT_BYTES = 64 << 20
+
+
 def _cos_topk_finish(cand, k: int, id_col: str, reduce_blocks: int = 8):
     """Distributed final top-k for a (qid, id, cos) candidate stream:
     shuffle-free tree-reduce (repartition + associative per-block
@@ -56,14 +61,20 @@ def _cos_topk_finish(cand, k: int, id_col: str, reduce_blocks: int = 8):
     reduce_blocks x Q x k rows, never the full candidate stream (at Q
     queries x B blocks x k the un-reduced stream is the first thing a
     1M-query user would die on). Returns (qid, id, cos) sorted by
-    (qid, -cos, id)."""
+    (qid, -cos, id). Small inputs (est < REDUCE_MIN_INPUT_BYTES) skip
+    the repartition wave: each partial block is already <= Q x k rows,
+    and at that scale the barrier costs more than the driver merge it
+    saves (measured +0.2 s on the sf0.1 bench)."""
     import ray
 
     from .ops import _topk_per_qid
+    from .scale import input_bytes_estimate
 
-    cand = cand.repartition(reduce_blocks).map_batches(
-        _cos_reduce, fn_args=(k, id_col), batch_format="pyarrow",
-        batch_size=None)
+    est = input_bytes_estimate(cand)
+    if est is None or est >= REDUCE_MIN_INPUT_BYTES:
+        cand = cand.repartition(reduce_blocks).map_batches(
+            _cos_reduce, fn_args=(k, id_col), batch_format="pyarrow",
+            batch_size=None)
     blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
