@@ -92,21 +92,26 @@ def tumbling_window_agg(ds, window_us: int = US_PER_HOUR,
                 "sum_value": s,
                 "min_value": mn,
                 "max_value": mx,
-                "__bucket": coarse_bucket_ids(
-                    _key_hash_for_bucket(out_key), nb),
+                "__khash": _key_hash_for_bucket(out_key),
             }
         )
 
     part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby([key_col, "win"], sort=False).agg(
+    def combine(g: pa.Table) -> pa.Table:
+        cols = [key_col, "win", "n", "sum_value", "min_value", "max_value"]
+        out = g.select(cols).to_pandas().groupby(
+            [key_col, "win"], sort=False).agg(
             n=("n", "sum"), sum_value=("sum_value", "sum"),
             min_value=("min_value", "min"), max_value=("max_value", "max"),
         ).reset_index()
-        return out
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
-    return part.groupby("__bucket").map_groups(combine, batch_format="pandas")
+    from .ops import coarse_group_by_cell
+
+    return coarse_group_by_cell(part, combine, key_col="__khash",
+                                n_buckets=nb)
 
 
 def hopping_window_agg(ds, window_us: int = US_PER_HOUR,
@@ -155,20 +160,26 @@ def hopping_window_agg(ds, window_us: int = US_PER_HOUR,
                 "sum_value": s,
                 "min_value": mn,
                 "max_value": mx,
-                "__bucket": coarse_bucket_ids(
-                    _key_hash_for_bucket(out_key), nb),
+                "__khash": _key_hash_for_bucket(out_key),
             }
         )
 
     part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby([key_col, "win"], sort=False).agg(
+    def combine(g: pa.Table) -> pa.Table:
+        cols = [key_col, "win", "n", "sum_value", "min_value", "max_value"]
+        out = g.select(cols).to_pandas().groupby(
+            [key_col, "win"], sort=False).agg(
             n=("n", "sum"), sum_value=("sum_value", "sum"),
             min_value=("min_value", "min"), max_value=("max_value", "max"),
         ).reset_index()
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
-    return part.groupby("__bucket").map_groups(combine, batch_format="pandas")
+    from .ops import coarse_group_by_cell
+
+    return coarse_group_by_cell(part, combine, key_col="__khash",
+                                n_buckets=nb)
 
 
 def asof_join(left_ds, right_ds, left_key: str, right_key: str,
@@ -182,7 +193,6 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     Output: all left columns + requested right columns (null when no
     match) — matching ANSI/DuckDB ``ASOF JOIN`` semantics.
     """
-    from .ops import coarse_bucket_ids
     from .scale import shuffle_buckets
 
     nb = shuffle_buckets(left_ds, right_ds)
@@ -203,7 +213,6 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
                 "__key": pa.array(k.astype(np.int64)),
                 "__ts": _ts_us(b.column(ts)),
                 "__side": pa.array(np.full(len(b), side, dtype=np.int8)),
-                "__bucket": pa.array(coarse_bucket_ids(k, nb)),
             }
             for c in keep:
                 out[c] = b.column(c)
@@ -230,7 +239,7 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     # expected tagged schemas, derived from the INPUT schemas (an empty
     # side's post-map schema is unknown — Ray skips UDFs on empty data)
     meta_fields = [("__key", pa.int64()), ("__ts", pa.int64()),
-                   ("__side", pa.int8()), ("__bucket", pa.int64())]
+                   ("__side", pa.int8())]
     lsch = left_ds.schema()
     rsch = right_ds.schema()
     l_fields = dict(meta_fields)
@@ -280,7 +289,10 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
              for c, t in out_fields}
         )
 
-    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+    from .ops import coarse_group_by_cell
+
+    return coarse_group_by_cell(both, per_bucket, key_col="__key",
+                                n_buckets=nb)
 
 
 def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,
@@ -303,18 +315,18 @@ def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,
             {
                 key_col: key,
                 "ts_us": ts,
-                "__bucket": pa.array(coarse_bucket_ids(key, nb)),
             }
         )
 
     part = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({key_col: pd.Series([], dtype=np.int64),
-                                 "session_start": pd.Series([], dtype=np.int64),
-                                 "session_end": pd.Series([], dtype=np.int64),
-                                 "n_events": pd.Series([], dtype=np.int64)})
+    def sessions(gt: pa.Table) -> pa.Table:
+        if gt.num_rows == 0 or key_col not in gt.column_names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "session_start": pa.array([], type=pa.int64()),
+                             "session_end": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64())})
+        g = gt.select([key_col, "ts_us"]).to_pandas()
         g = g.sort_values([key_col, "ts_us"], kind="stable")
         key = g[key_col].to_numpy()
         ts = g["ts_us"].to_numpy()
@@ -333,6 +345,10 @@ def session_windows(ds, gap_us: int = 30 * 60 * 1_000_000,
             n_events=("ts", "size"),
         ).reset_index(drop=True)
         agg["n_events"] = agg["n_events"].astype(np.int64)
-        return agg
+        return pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None)
 
-    return part.groupby("__bucket").map_groups(sessions, batch_format="pandas")
+    from .ops import coarse_group_by_cell
+
+    return coarse_group_by_cell(part, sessions, key_col=key_col,
+                                n_buckets=nb)
