@@ -679,12 +679,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate records at most the
     # first 50 entries. Standing rotation policy (VERDICT r03 item 2):
     # least-recently-driver-checked FIRST, so no query goes more than
-    # ~2 rounds without a driver row — (1) the 14 entries outside the
-    # r03 window (last driver-green in r01/r02), (2) entries checked
-    # exactly once (new in r03), (3) entries checked in r02+r03; the
-    # 14-entry tail was driver-green twice with code untouched this
-    # round, and stays covered by pytest + scripts/check_contract.py.
-    return {
+    # ~2 rounds without a driver row. _rotate_lru below AUTOMATES this
+    # from the CORRECTNESS_r*.json files the driver leaves in the repo
+    # (a query's last driver-recorded round orders it; never-recorded
+    # first; the hand order below is the stable tiebreak), so the
+    # rotation holds every future round without manual reordering.
+    # Out-of-window entries stay covered by pytest +
+    # scripts/check_contract.py.
+    return _rotate_lru({
         # -- (1) outside the r03 driver window (judge-verified then) --------
         "token_stats": token_stats,
         "iter_all": iter_all,
@@ -753,7 +755,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_geometry_join": tile_geometry_join,
         "extract_geo_spans": extract_geo_spans,
         "bpe_token_stats": bpe_token_stats,
-    }
+    })
+
+
+def _rotate_lru(qdict: dict) -> dict:
+    """Order queries least-recently-driver-checked first, from the
+    CORRECTNESS_r*.json rows recorded in past rounds (absent or
+    unparsable files mean round 0 = front of the line)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    names = list(qdict)
+    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], 0), i))
+    return {names[i]: qdict[names[i]] for i in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -469,3 +469,26 @@ def test_read_schema_hashable_no_dedup_warning(ray_session, sf_small, caplog):
         assert hash(pa.schema(list(zip(sch.names, sch.types)))) is not None
         assert ds.count() > 0
     assert not [r for r in caplog.records if "Failed to hash" in r.message]
+
+
+def test_queries_window_rotates_least_recently_checked_first():
+    """Standing driver-window rotation: every query with a row in the
+    NEWEST CORRECTNESS_r*.json must sort after every query whose last
+    driver row is older (the driver checks only the first 50 entries)."""
+    import glob
+    import json
+    import re
+
+    import __ray_entry__ as e
+
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"),
+                   key=lambda f: int(re.search(r"_r(\d+)", f).group(1)))
+    assert files, "driver artifacts expected in the repo"
+    last = {}
+    for f in files:
+        rnd = int(re.search(r"_r(\d+)", f).group(1))
+        for name in json.load(open(f)):
+            last[name] = max(last.get(name, 0), rnd)
+    names = list(e.queries().keys())
+    ranks = [last.get(n, 0) for n in names]
+    assert ranks == sorted(ranks), "queries() not LRU-ordered"
