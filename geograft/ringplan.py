@@ -47,7 +47,13 @@ from . import grid as G
 
 # a query whose ring walk exceeds this many rings is answered with a
 # dense per-partition row instead (O(M) for that query only): beyond
-# this point enumeration cost (~(2r)^d cells) rivals the dense scan
+# this point enumeration cost (~(2r)^d cells) rivals the dense scan.
+# The walk ALSO falls back as soon as the enumerated ball volume
+# exceeds the partition count (cost-based: the dense row IS the matrix
+# planner's row, and it is cheaper than walking a ball bigger than M) —
+# the fixed ring cap alone let a 20k-query out-of-distribution lap
+# walk ~38 rings x 20k queries (14 s planning) when 958 dense rows
+# (0.9 s total) answered the same thing.
 FALLBACK_RINGS = 64
 
 _OFFSETS_CACHE: dict[tuple[int, int], np.ndarray] = {}
@@ -180,56 +186,172 @@ class GridDirectory:
         return (c * c).sum(axis=1)
 
 
+def _cover_ub(dirx: GridDirectory, qc: np.ndarray, qidx: np.ndarray,
+              pidx: np.ndarray, k: int, Q: int) -> np.ndarray:
+    """Per-query envelope upper bound on the kth-NN distance from the
+    collected ball members: cover >= k rows greedily in ascending
+    tight-envelope min-dist order; every cover row lies within its
+    member's max-corner distance, so the cover's max max-corner bounds
+    the true kth distance.  inf where the members cover < k rows."""
+    ub = np.full(Q, np.inf)
+    if len(qidx) == 0:
+        return ub
+    mind2 = dirx.mind2(qc[qidx], pidx)
+    q = qc[qidx]
+    far = np.maximum(np.abs(q - dirx.lo[pidx]), np.abs(q - dirx.up[pidx]))
+    maxd2 = (far * far).sum(axis=1)
+    order = np.lexsort((mind2, qidx))
+    qs = qidx[order]
+    cnt = dirx.counts[pidx[order]]
+    xs = maxd2[order]
+    n = len(qs)
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = qs[1:] != qs[:-1]
+    seg_start = np.maximum.accumulate(np.where(boundary, np.arange(n), 0))
+    cum = np.cumsum(cnt)
+    base = np.where(seg_start > 0, cum[np.maximum(seg_start - 1, 0)], 0)
+    inseg = cum - base
+    # per-segment running max of xs via the add-big trick; the rounding
+    # it can introduce only matters through the final ub, which is
+    # inflated below — a wider ub only ever ADMITS more
+    seg_id = np.cumsum(boundary) - 1
+    big = float(xs.max(initial=0.0)) + 1.0
+    rm = np.maximum.accumulate(xs + seg_id * big) - seg_id * big
+    covered = inseg >= k
+    if covered.any():
+        idx = np.nonzero(covered)[0]
+        qcv = qs[idx]
+        first = np.ones(len(idx), dtype=bool)
+        first[1:] = qcv[1:] != qcv[:-1]
+        sel = idx[first]
+        ub[qs[sel]] = rm[sel] * (1.0 + 1e-9)
+    return ub
+
+
+def _matrix_routes(dirx: GridDirectory, qc_sub: np.ndarray, k: int,
+                   dk2_sub: np.ndarray | None = None):
+    """Dense-matrix routes for fallback stragglers — delegates to the
+    f32 chunked/threaded matrix planner (state._plan_knn_seed_refine):
+    for a query whose ring ball would exceed the partition count, the
+    dense row IS the optimal plan, and the matrix implementation
+    (argpartition escalation, f32 traffic, thread pool) is ~20x faster
+    than any per-query numpy loop here.  Runtime import: state imports
+    ringplan lazily and vice versa — no module-level cycle."""
+    from .state import _plan_knn_seed_refine
+
+    return _plan_knn_seed_refine(qc_sub, dirx.lo, dirx.up, dirx.counts,
+                                 k, dk2=dk2_sub)
+
+
 def _seed_walk(dirx: GridDirectory, qc: np.ndarray, owner: np.ndarray,
                k: int, emit: bool):
-    """Ring walk until each query's cumulative member count reaches k
-    (or its rings are exhausted).  Returns (qi, pi, r_stop, fb) where fb
-    marks queries handed to the dense fallback.  The seed set is the
-    FULL Chebyshev ball of radius r_stop — deterministic from (owner,
-    k, directory) alone, so the refine pass can recompute and exclude
-    it exactly."""
+    """Two-phase ring walk.  Phase 1 expands until each query's
+    cumulative member count reaches k (or its rings are exhausted).
+    Phase 2 computes the greedy cover's envelope bound ub (_cover_ub)
+    and KEEPS WALKING until the ring lower bound exceeds sqrt(ub): the
+    walked ball then provably contains every partition that can hold a
+    true top-k row, so pass 1's kth distance is EXACT and the refine
+    pass admits (almost) nothing.  Without phase 2 the first covering
+    ring can be distance-far on anisotropic grids (clipped owners,
+    w_max >> w_min), the pass-1 kth distance is loose, and the refine
+    annulus explodes — measured 1.37M routed pairs vs the matrix
+    planner's 444 on a 958-cell index with out-of-grid queries.
+
+    Queries whose walk would touch more cells than the partition count
+    (upfront: the owner is so far outside the occupied box that the
+    first-contact ball already exceeds M; mid-walk: the ring caps) are
+    flagged fb and NOT walked — plan_seed/plan_refine route them
+    through the dense matrix planner, which is optimal there.
+
+    Returns (qi, pi, r_stop, fb, ub): qi/pi are the non-fb ball routes
+    filtered to mind2 <= widen(ub) (refine's bound is <= widen(ub)
+    because the pass-1 kth distance is <= ub, so skipping the others is
+    sound); r_stop/ub/fb are deterministic from (owner, k, directory)
+    alone, so the refine pass can recompute and exclude exactly."""
     Q = len(qc)
     maxr = dirx.max_ring(owner)
     cum = np.zeros(Q, dtype=np.int64)
-    r_stop = np.full(Q, -1, dtype=np.int64)
-    fb = np.zeros(Q, dtype=bool)
-    out_q: list[np.ndarray] = []
-    out_p: list[np.ndarray] = []
+    r_cover = np.full(Q, -1, dtype=np.int64)
+    M = len(dirx.counts)
+    cap = max(64, M)
+    # upfront fallback: Chebyshev index distance from the owner to the
+    # occupied bounding box — if the first ring that can CONTACT any
+    # occupied cell already implies a ball bigger than M, walking is
+    # never worth it
+    r_near = np.maximum(np.maximum(dirx.amin - owner, owner - dirx.amax),
+                        0).max(axis=1)
+    fb = (2 * r_near + 1) ** dirx.d > cap
+    ub = np.full(Q, np.inf)
+    col_q: list[np.ndarray] = []
+    col_p: list[np.ndarray] = []
     r = 0
+    # -- phase 1: first covering ring ------------------------------------
     while True:
-        act = np.nonzero((r_stop < 0) & ~fb)[0]
+        act = np.nonzero((r_cover < 0) & ~fb)[0]
         if len(act) == 0:
             break
-        if r > FALLBACK_RINGS:
+        if r > FALLBACK_RINGS or (2 * r + 1) ** dirx.d > cap:
             fb[act] = True
             break
         inb = act[maxr[act] >= r]
         if len(inb):
             memq, memp = dirx.ring_members(inb, owner, r)
             if len(memq):
-                if emit:
-                    out_q.append(memq)
-                    out_p.append(memp)
+                col_q.append(memq)
+                col_p.append(memp)
                 np.add.at(cum, memq, dirx.counts[memp])
         done = act[(cum[act] >= k) | (maxr[act] <= r)]
-        r_stop[done] = r
+        r_cover[done] = r
         r += 1
-    if fb.any():
-        # dense fallback: per straggler, partitions sorted by Chebyshev
-        # ring; r_stop = first ring whose cumulative count covers k
-        for q in np.nonzero(fb)[0]:
-            cheb = dirx.cheb_to_owner(owner[q])
-            o = np.argsort(cheb, kind="stable")
-            cs = np.cumsum(dirx.counts[o])
-            j = int(np.argmax(cs >= k)) if cs[-1] >= k else len(o) - 1
-            r_stop[q] = int(cheb[o[j]])
-            sel = o[cheb[o] <= r_stop[q]]
-            if emit:
-                out_q.append(np.full(len(sel), q, dtype=np.int64))
-                out_p.append(sel)
+    qidx = np.concatenate(col_q) if col_q else np.empty(0, dtype=np.int64)
+    pidx = np.concatenate(col_p) if col_p else np.empty(0, dtype=np.int64)
+    # -- phase 2: extend the ball to the cover's envelope bound ----------
+    ub_walk = _cover_ub(dirx, qc, qidx, pidx, k, Q)
+    ub[~fb] = ub_walk[~fb]
+    with np.errstate(over="ignore", invalid="ignore"):
+        r_need = np.where(np.isfinite(ub),
+                          np.floor(np.sqrt(np.maximum(ub, 0.0))
+                                   / dirx.w_min) + 2.0,
+                          np.inf)
+    r_final = np.minimum(np.maximum(r_cover, r_need),
+                         maxr.astype(np.float64))
+    # cost fallback for phase 2, same rule as phase 1
+    deep = (~fb) & ((r_final - r_cover > FALLBACK_RINGS)
+                    | ((2.0 * r_final + 1.0) ** dirx.d > cap))
+    fb |= deep
+    ub[fb] = np.inf  # fb queries route through the matrix planner
+    r_final = np.where(fb, 0.0, r_final).astype(np.int64)
+    walkers = np.nonzero(~fb & (r_final > r_cover))[0]
+    if len(walkers):
+        r2 = int(r_cover[walkers].min()) + 1
+        top = int(r_final[walkers].max())
+        while r2 <= top:
+            act = walkers[(r_cover[walkers] < r2)
+                          & (r2 <= r_final[walkers])
+                          & (maxr[walkers] >= r2)]
+            if len(act):
+                memq, memp = dirx.ring_members(act, owner, r2)
+                if len(memq):
+                    col_q.append(memq)
+                    col_p.append(memp)
+            r2 += 1
+        qidx = np.concatenate(col_q)
+        pidx = np.concatenate(col_p)
+    r_stop = np.where(fb, np.int64(-1), np.maximum(r_final, r_cover))
+    out_q: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    if emit and len(qidx):
+        keep = ~fb[qidx]
+        if keep.any():
+            kq, kp = qidx[keep], pidx[keep]
+            bound = _widen(ub, dirx, qc)
+            adm = dirx.mind2(qc[kq], kp) <= bound[kq]
+            out_q.append(kq[adm])
+            out_p.append(kp[adm])
     qi = np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64)
     pi = np.concatenate(out_p) if out_p else np.empty(0, dtype=np.int64)
-    return qi, pi, r_stop, fb
+    return qi, pi, r_stop, fb, ub
 
 
 def _widen(dk2: np.ndarray, dirx: GridDirectory, qc: np.ndarray) -> np.ndarray:
@@ -248,15 +370,22 @@ def _widen(dk2: np.ndarray, dirx: GridDirectory, qc: np.ndarray) -> np.ndarray:
 
 
 def plan_seed(dirx: GridDirectory, qc: np.ndarray, k: int):
-    """SEED routes: for each query, the full ring ball out to the first
-    ring covering >= k rows.  Returns (qi, pi, r_stop); keep r_stop and
-    pass it to plan_refine to skip the recompute."""
+    """SEED routes: for each query, the ring ball extended to the
+    greedy cover's envelope bound (plus matrix-style dense seeds for
+    fallback stragglers), filtered to mind2 <= widen(ub).  Returns
+    (qi, pi, aux); pass aux to plan_refine to skip the recompute."""
     if len(qc) == 0 or len(dirx.counts) == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z, np.empty(0, dtype=np.int64)
+        return z, z, (np.empty(0, dtype=np.int64),
+                      np.empty(0), np.empty(0, dtype=bool))
     owner = dirx.owners(qc)
-    qi, pi, r_stop, _ = _seed_walk(dirx, qc, owner, k, emit=True)
-    return qi, pi, r_stop
+    qi, pi, r_stop, fb, ub = _seed_walk(dirx, qc, owner, k, emit=True)
+    if fb.any():
+        fi = np.nonzero(fb)[0]
+        mq, mp = _matrix_routes(dirx, qc[fi], k)
+        qi = np.concatenate([qi, fi[mq]])
+        pi = np.concatenate([pi, mp])
+    return qi, pi, (r_stop, ub, fb)
 
 
 def plan_refine(dirx: GridDirectory, qc: np.ndarray, k: int,
@@ -270,7 +399,13 @@ def plan_refine(dirx: GridDirectory, qc: np.ndarray, k: int,
         return z, z
     owner = dirx.owners(qc)
     if r_stop is None:
-        _, _, r_stop, _ = _seed_walk(dirx, qc, owner, k, emit=False)
+        _, _, r_stop, seed_fb, seed_ub = _seed_walk(dirx, qc, owner, k,
+                                                    emit=False)
+    elif isinstance(r_stop, tuple):
+        r_stop, seed_ub, seed_fb = r_stop
+    else:  # bare r_stop array (older callers/tests): recompute the rest
+        _, _, _, seed_fb, seed_ub = _seed_walk(dirx, qc, owner, k,
+                                               emit=False)
     bound = _widen(dk2, dirx, qc)
     maxr = dirx.max_ring(owner)
     # rings with lb > bound can't contain a winner: (r-1)*w_min bound
@@ -279,10 +414,13 @@ def plan_refine(dirx: GridDirectory, qc: np.ndarray, k: int,
                           np.floor(np.sqrt(bound) / dirx.w_min) + 2,
                           np.inf)
     r_max = np.minimum(r_need, maxr.astype(np.float64))
-    fb = (r_max - r_stop) > FALLBACK_RINGS
     out_q: list[np.ndarray] = []
     out_p: list[np.ndarray] = []
-    walkers = np.nonzero(~fb & (r_max > r_stop))[0]
+    # ball-seeded queries: in the kNN flow dk2 <= seed ub (pass 1 read
+    # the whole widen(ub) ball), so the walk below is a no-op; it only
+    # runs when a caller hands a LOOSER bound (e.g. plan_cover's
+    # envelope ub can exceed the seed ub)
+    walkers = np.nonzero(~seed_fb & (r_max > r_stop))[0]
     if len(walkers):
         r = int(r_stop[walkers].min()) + 1
         top = int(r_max[walkers].max())
@@ -296,16 +434,13 @@ def plan_refine(dirx: GridDirectory, qc: np.ndarray, k: int,
                     out_q.append(memq[keep])
                     out_p.append(memp[keep])
             r += 1
-    for q in np.nonzero(fb)[0]:
-        # dense row for this query only: radius test over all
-        # partitions minus the seed ball (ball membership is arithmetic
-        # — Chebyshev distance of the ancestor cell)
-        cheb = dirx.cheb_to_owner(owner[q])
-        d2 = dirx.mind2(np.broadcast_to(qc[q], (len(cheb), dirx.d)),
-                        np.arange(len(cheb)))
-        sel = np.nonzero((cheb > r_stop[q]) & (d2 <= bound[q]))[0]
-        out_q.append(np.full(len(sel), q, dtype=np.int64))
-        out_p.append(sel)
+    # fallback-seeded queries ride the matrix planner's refine, which
+    # recomputes and excludes its own deterministic seed cover
+    if seed_fb.any():
+        fi = np.nonzero(seed_fb)[0]
+        mq, mp = _matrix_routes(dirx, qc[fi], k, dk2_sub=dk2[fi])
+        out_q.append(fi[mq])
+        out_p.append(mp)
     if not out_q:
         z = np.empty(0, dtype=np.int64)
         return z, z
@@ -314,30 +449,33 @@ def plan_refine(dirx: GridDirectory, qc: np.ndarray, k: int,
 
 def plan_cover(dirx: GridDirectory, qc: np.ndarray, k: int):
     """One-pass cover routes for indexed_knn's single co-shuffle shape:
-    seed ball -> per-query upper bound ub = max member max-corner
-    distance over the ball (a proven kth-distance bound: the ball holds
-    >= k rows, all within ub) -> all partitions with tight mind2 <= ub.
+    the seed walk already routes EVERY partition with tight mind2 <=
+    widen(ub), where ub is the greedy cover's envelope bound — a proven
+    kth-distance bound (the cover holds >= k rows, all within ub).
     Same bound derivation as the matrix planner, visiting only
-    enumerated rings."""
+    enumerated rings (dense rows only for fallback stragglers)."""
     if len(qc) == 0 or len(dirx.counts) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
     owner = dirx.owners(qc)
-    sqi, spi, r_stop, _ = _seed_walk(dirx, qc, owner, k, emit=True)
-    total = int(dirx.counts.sum())
-    ub = np.full(len(qc), np.inf)
-    if total > k and len(sqi):
-        lo = dirx.lo[spi]
-        up = dirx.up[spi]
-        q = qc[sqi]
-        far = np.maximum(np.abs(q - lo), np.abs(q - up))
-        maxd2 = (far * far).sum(axis=1)
-        ub_fill = np.zeros(len(qc))
-        np.maximum.at(ub_fill, sqi, maxd2)
-        covered = np.zeros(len(qc), dtype=np.int64)
-        np.add.at(covered, sqi, dirx.counts[spi])
-        ok = covered >= k
-        ub[ok] = ub_fill[ok]
-    qi2, pi2 = plan_refine(dirx, qc, k, ub, r_stop=r_stop)
-    # seed members always qualify (they define ub); refine adds the rest
-    return (np.concatenate([sqi, qi2]), np.concatenate([spi, pi2]))
+    sqi, spi, _, fb, _ = _seed_walk(dirx, qc, owner, k, emit=True)
+    if not fb.any():
+        return sqi, spi
+    # fallback stragglers: matrix seed cover + its envelope-bound
+    # annulus (the cover holds >= k rows, all within the max max-corner
+    # distance ub_env, so partitions outside widen(ub_env) are out)
+    fi = np.nonzero(fb)[0]
+    mq, mp = _matrix_routes(dirx, qc[fi], k)
+    q = qc[fi][mq]
+    far = np.maximum(np.abs(q - dirx.lo[mp]), np.abs(q - dirx.up[mp]))
+    maxd2 = (far * far).sum(axis=1)
+    ub_env = np.full(len(fi), np.inf)
+    covered = np.zeros(len(fi), dtype=np.int64)
+    np.add.at(covered, mq, dirx.counts[mp])
+    ub_fill = np.zeros(len(fi))
+    np.maximum.at(ub_fill, mq, maxd2)
+    ok = covered >= k
+    ub_env[ok] = ub_fill[ok] * (1.0 + 1e-9)
+    rq, rp = _matrix_routes(dirx, qc[fi], k, dk2_sub=ub_env)
+    return (np.concatenate([sqi, fi[mq], fi[rq]]),
+            np.concatenate([spi, mp, rp]))
