@@ -210,3 +210,20 @@ def test_planner_memory_bounded_by_rings():
     # sanity: every query seeded at least k rows' worth of partitions
     assert len(qi) >= nq
     assert (np.bincount(qi, minlength=nq) >= 1).all()
+
+
+def test_rings_vs_matrix_out_of_grid_queries(ray_session, dense_index):
+    """Adversarial query distribution: most queries far OUTSIDE the
+    data extent (clipped owners, distance-disordered ring covers) —
+    the case that exploded the refine annulus before the exact-ub seed
+    + matrix-delegated fallback. Results must stay bit-identical and
+    the rings refine must route (near) nothing."""
+    path, _ = dense_index
+    rng = np.random.default_rng(17)
+    qn = 256
+    q = pa.table({"qid": np.arange(qn),
+                  "x": rng.uniform(-500.0, 1500.0, qn),
+                  "y": rng.uniform(-500.0, 1500.0, qn)})
+    a = state.knn_on_index(path, q, k=7, planner="matrix")
+    b = state.knn_on_index(path, q, k=7, planner="rings")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
