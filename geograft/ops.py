@@ -1487,6 +1487,43 @@ def _partial_directory(batch: pa.Table, key_cols: list[str]) -> pa.Table:
     )
 
 
+def _combine_directory(part, keys: list[str]):
+    """Distributed combine for tiny partial-directory rows
+    (keys + n/minx/miny/maxx/maxy): Ray's native groupby().aggregate is
+    per-key Python — measured 3.7 s on 31k partial rows (958 cells x 40
+    blocks) where one vectorized pandas groupby per coarse bucket does
+    the identical combine in ~10 ms. Multi-key directories fold the
+    keys into one int64 exchange key (tiles are << 2^31)."""
+    agg_cols = ["n", "minx", "miny", "maxx", "maxy"]
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or keys[0] not in g.column_names:
+            cols = {k: pa.array([], type=pa.int64()) for k in keys}
+            cols["n"] = pa.array([], type=pa.int64())
+            for c in agg_cols[1:]:
+                cols[c] = pa.array([], type=pa.float64())
+            return pa.table(cols)
+        df = g.select([*keys, *agg_cols]).to_pandas()
+        out = df.groupby(keys, sort=False).agg(
+            n=("n", "sum"), minx=("minx", "min"), miny=("miny", "min"),
+            maxx=("maxx", "max"), maxy=("maxy", "max")).reset_index()
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    if len(keys) == 1:
+        keyed, kc = part, keys[0]
+    else:
+        def addk(b: pa.Table) -> pa.Table:
+            k = (b.column(keys[0]).to_numpy() * np.int64(1 << 32)
+                 + b.column(keys[1]).to_numpy())
+            return b.append_column("__ck", pa.array(k))
+
+        keyed = part.map_batches(addk, batch_format="pyarrow",
+                                 batch_size=None)
+        kc = "__ck"
+    return coarse_group_by_cell(keyed, combine, key_col=kc)
+
+
 def cell_directory(ds, level: int, bounds: G.Bounds):
     """groupby(cell_id) -> (n, envelope union) per occupied cell.
 
@@ -1495,20 +1532,12 @@ def cell_directory(ds, level: int, bounds: G.Bounds):
     levels. Partial aggregation inside map_batches keeps the all-to-all
     exchange proportional to #cells, not #rows.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     part = ds.map_batches(
         lambda b: _partial_directory(assign_owner_cells(b, level, bounds), ["cell_id"]),
         batch_format="pyarrow",
         batch_size=None,
     )
-    return part.groupby("cell_id").aggregate(
-        Sum("n", alias_name="n"),
-        Min("minx", alias_name="minx"),
-        Min("miny", alias_name="miny"),
-        Max("maxx", alias_name="maxx"),
-        Max("maxy", alias_name="maxy"),
-    )
+    return _combine_directory(part, ["cell_id"])
 
 
 def tile_geometry_join(ds, nx: int, ny: int, bounds: G.Bounds,
@@ -1554,7 +1583,6 @@ def tile_histogram(ds, nx: int, ny: int, bounds: G.Bounds):
     """Row-major tile assignment + per-tile aggregate — the raster-tile
     side of the tile<->geometry join surface, with an ANSI-SQL oracle
     (floor arithmetic, no Morton interleave)."""
-    from ray.data.aggregate import Max, Min, Sum
 
     def tiled(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -1571,10 +1599,4 @@ def tile_histogram(ds, nx: int, ny: int, bounds: G.Bounds):
         batch_format="pyarrow",
         batch_size=None,
     )
-    return part.groupby(["tile_x", "tile_y"]).aggregate(
-        Sum("n", alias_name="n"),
-        Min("minx", alias_name="minx"),
-        Min("miny", alias_name="miny"),
-        Max("maxx", alias_name="maxx"),
-        Max("maxy", alias_name="maxy"),
-    )
+    return _combine_directory(part, ["tile_x", "tile_y"])

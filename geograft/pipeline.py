@@ -339,12 +339,19 @@ def build_partitioned_index_nd(
         u, c = np.unique(cid, return_counts=True)
         return pa.table({"cell_id": u, "n": c.astype(np.int64)})
 
-    from ray.data.aggregate import Sum
+    def sum_cells(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "cell_id" not in g.column_names:
+            return pa.table({"cell_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        df = g.select(["cell_id", "n"]).to_pandas()
+        out = df.groupby("cell_id", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
-    hist = (
-        ds.map_batches(part_hist, batch_format="pyarrow", batch_size=None)
-        .groupby("cell_id").aggregate(Sum("n", alias_name="n")).to_pandas()
-    )
+    # vectorized combine (Ray's native aggregate is per-key Python)
+    hist = ops.coarse_group_by_cell(
+        ds.map_batches(part_hist, batch_format="pyarrow", batch_size=None),
+        sum_cells, key_col="cell_id").to_pandas()
     hot_map: dict[int, int] = {}
     max_lvl = G.max_level_nd(d)
     for cid, n in zip(hist["cell_id"], hist["n"]):
