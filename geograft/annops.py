@@ -278,25 +278,28 @@ def embedding_neardup(ds, threshold: float = 0.95,
             lsh_bucket_ids(m, _hyperplanes(m.shape[1], n_planes, seed=seed + band))
             for band in range(n_bands)
         ])
-        coarse = (
+        bkey = (
             sigs.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
             + out_band.astype(np.uint64)
-        ) % nb_shuffle
+        ).astype(np.int64)
         return pa.table({id_col: out_id, "band": out_band, "sig": sigs,
-                         "__bucket": coarse.astype(np.int64)})
+                         "__bkey": bkey})
 
     sig_ds = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
 
-    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[[id_col, "band", "sig"]]
+    def coarse_pairs(g: pa.Table) -> pa.Table:
+        g = g.select([id_col, "band", "sig"]).to_pandas()
         m = g.merge(g, on=["band", "sig"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         a = out[f"{id_col}_a"].to_numpy(dtype=np.int64)
         b = out[f"{id_col}_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"a": a, "b": b, "__pb": T._pair_bucket(a, b)})
+        return pa.table({"a": a, "b": b, "__pb": T._pair_bucket(a, b)})
 
-    pairs = sig_ds.groupby("__bucket").map_groups(coarse_pairs, batch_format="pandas")
+    from .ops import coarse_group_by_cell
+
+    pairs = coarse_group_by_cell(sig_ds, coarse_pairs, key_col="__bkey",
+                                 n_buckets=int(nb_shuffle))
 
     # cross-band duplicate candidates dedup inside the verify join's own
     # shuffle (attach_pair_lookup dedups halves in-bucket) — same

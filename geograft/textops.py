@@ -683,87 +683,6 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray,
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def attach_lookup(ds, lookup_ds, key_col: str, lookup_key: str,
-                  attach: dict[str, str], n_buckets: int | None = None):
-    """Distributed hash join: add columns from a lookup table to a row
-    stream by co-locating both sides on coarse hash(key) buckets — the
-    scale-safe replacement for a driver-broadcast dict (O(#keys) driver
-    state). ``attach`` maps output column -> lookup column. Inner
-    semantics: rows whose key is missing from the lookup are dropped.
-
-    Sides are split back apart while still Arrow inside each bucket so
-    the union's null padding can never promote exact integer columns
-    (same guard as eventops.asof_join).
-    """
-    from .scale import shuffle_buckets
-
-    nb = np.uint64(n_buckets or shuffle_buckets(ds, lookup_ds))
-    row_schema = ds.schema()
-    row_types = dict(zip(row_schema.names, row_schema.types))
-    lk_schema = lookup_ds.schema()
-    lk_types = dict(zip(lk_schema.names, lk_schema.types))
-    row_cols = list(row_schema.names)
-    out_fields = [(c, row_types[c]) for c in row_cols] + \
-                 [(o, lk_types[c]) for o, c in attach.items()]
-    attach_items = sorted(attach.items())
-
-    def tag_rows(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_numpy()
-        out = {
-            "__k": pa.array(keys.astype(np.int64)),
-            "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
-            "__bucket": pa.array(
-                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % nb).astype(np.int64)),
-        }
-        for c in row_cols:
-            out[c] = b.column(c)
-        for o, c in attach_items:
-            out[o] = pa.nulls(len(b), type=lk_types[c])
-        return pa.table(out)
-
-    def tag_lookup(b: pa.Table) -> pa.Table:
-        keys = b.column(lookup_key).to_numpy()
-        out = {
-            "__k": pa.array(keys.astype(np.int64)),
-            "__side": pa.array(np.ones(len(b), dtype=np.int8)),
-            "__bucket": pa.array(
-                (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                 % nb).astype(np.int64)),
-        }
-        for c in row_cols:
-            out[c] = pa.nulls(len(b), type=row_types[c])
-        for o, c in attach_items:
-            out[o] = b.column(c)
-        return pa.table(out)
-
-    all_names = ["__k", "__side", "__bucket", *row_cols,
-                 *[o for o, _ in attach_items]]
-    both = (
-        ds.map_batches(tag_rows, batch_format="pyarrow", batch_size=None)
-        .select_columns(all_names)
-        .union(
-            lookup_ds.map_batches(tag_lookup, batch_format="pyarrow", batch_size=None)
-            .select_columns(all_names)
-        )
-    )
-
-    def per_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or "__side" not in g.column_names:
-            return pa.table({c: pa.array([], type=t) for c, t in out_fields})
-        side = g.column("__side").to_numpy()
-        rows = g.filter(pa.array(side == 0)).select(["__k", *row_cols]).to_pandas()
-        lk = g.filter(pa.array(side == 1)).select(
-            ["__k", *[o for o, _ in attach_items]]).to_pandas()
-        merged = rows.merge(lk, on="__k", how="inner")
-        return pa.table(
-            {c: pa.array(merged[c], type=t, from_pandas=True)
-             for c, t in out_fields}
-        )
-
-    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
-
-
 def attach_pair_lookup(pairs_ds, lookup_ds, lookup_key: str, lookup_col: str,
                        out_a: str, out_b: str, n_buckets: int | None = None):
     """Attach one lookup column to BOTH endpoints of an (a, b) pair
