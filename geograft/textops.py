@@ -887,6 +887,11 @@ def _exact_jaccard_from_sigs(la, lb) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
+# past this many candidate pairs the endpoint id set is too big to
+# hold on the driver; verification falls back to the full exchange
+SEMIJOIN_MAX_PAIRS = 2_000_000
+
+
 def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
                          via: str = "sig"):
@@ -901,7 +906,36 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
     ``via='text'`` ships raw text and re-shingles per pair — kept as
     the cross-check path."""
     if via == "sig":
-        sigs = shingle_sig_ds(docs_ds, k, text_col, id_col)
+        import ray
+
+        # endpoint semi-join: candidates are ids-only and (post direct
+        # exchange) already materialized — when the pair set is small,
+        # broadcast the distinct endpoint ids and compute/ship sigs for
+        # ONLY those docs instead of the whole corpus (measured: 200k
+        # docs shingled+shuffled to verify ~10k pairs). The gate keeps
+        # the driver-held id set bounded; past it, the full exchange
+        # (which never holds ids on the driver) takes over.
+        pairs_ds = pairs_ds.materialize()
+        docs_src = docs_ds
+        if pairs_ds.count() <= SEMIJOIN_MAX_PAIRS:
+            id_blocks = [t.select(["a", "b"]) for t in
+                         ray.get(pairs_ds.to_arrow_refs())
+                         if t.num_rows > 0 and "a" in t.column_names]
+            if id_blocks:
+                cat = pa.concat_tables(id_blocks)
+                need = np.unique(np.concatenate(
+                    [cat.column("a").to_numpy(), cat.column("b").to_numpy()]))
+                need_ref = ray.put(need)
+
+                def only_endpoints(b: pa.Table) -> pa.Table:
+                    ids = b.column(id_col).to_numpy()
+                    m = np.isin(ids, ray.get(need_ref),
+                                assume_unique=False)
+                    return b.filter(pa.array(m))
+
+                docs_src = docs_ds.map_batches(
+                    only_endpoints, batch_format="pyarrow", batch_size=None)
+        sigs = shingle_sig_ds(docs_src, k, text_col, id_col)
         with_b = attach_pair_lookup(pairs_ds, sigs, id_col, "sig",
                                     "__sa", "__sb")
 
