@@ -448,7 +448,7 @@ def run_scaling() -> dict:
     1. CRITERION — the HEADLINE pipeline (extract_tiles: events ->
        interleaved docs -> span parse -> cell directory) on an input
        large enough that compute dominates per-stage fixed costs
-       (events x GRAFT_SCALING_MULT, default 60 — sized so the @2 lap runs ~40 s, amortizing per-process fixed costs the way a long-running cluster job would), at num_cpus lo and
+       (events x GRAFT_SCALING_MULT, default 180 — re-sized each round so the @2 lap runs ~30-40 s, amortizing per-process fixed costs the way a long-running cluster job would; x60 fell to 11 s @2 after the round-4 vectorized directory combine and fixed costs dominated), at num_cpus lo and
        hi in fresh processes, GRAFT_SCALING_PAIRS interleaved pairs,
        per-level minimum. Reported as `scaling_efficiency`.
     2. TRANSPARENCY — the full 12-pipeline suite run SERIALLY once per
@@ -459,7 +459,7 @@ def run_scaling() -> dict:
        seconds), so the aggregate ratio UNDERSTATES pipeline-structure
        scaling — reported anyway, with per-pipeline detail.
     """
-    mult = int(os.environ.get("GRAFT_SCALING_MULT", "60"))
+    mult = int(os.environ.get("GRAFT_SCALING_MULT", "180"))
     suite_mult = int(os.environ.get("GRAFT_SCALING_SUITE_MULT", "10"))
     flag_dir = ensure_scaled_input(SF_DIR, mult, doc_mult=1, emb_mult=1)
     suite_dir = ensure_scaled_input(SF_DIR, suite_mult)

@@ -228,7 +228,7 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
     )
 
     # align schemas for the union: fill the other side's columns with nulls
-    def pad(missing: list[str], like):
+    def pad(missing: list[str]):
         def f(b: pa.Table) -> pa.Table:
             for c, typ in missing:
                 b = b.append_column(c, pa.nulls(len(b), type=typ))
@@ -250,8 +250,8 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
         r_fields[n] = rsch.types[rsch.names.index(n)]
     l_missing = [(n, t) for n, t in r_fields.items() if n not in l_fields]
     r_missing = [(n, t) for n, t in l_fields.items() if n not in r_fields]
-    lt = lt.map_batches(pad(l_missing, None), batch_format="pyarrow", batch_size=None)
-    rt = rt.map_batches(pad(r_missing, None), batch_format="pyarrow", batch_size=None)
+    lt = lt.map_batches(pad(l_missing), batch_format="pyarrow", batch_size=None)
+    rt = rt.map_batches(pad(r_missing), batch_format="pyarrow", batch_size=None)
     all_names = sorted(set(l_fields) | set(r_fields))
     lt = lt.select_columns(all_names)
     rt = rt.select_columns(all_names)
