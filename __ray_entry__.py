@@ -237,6 +237,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             FX.join_left_ds(sf), FX.join_right_ds(sf), level=4, bounds=FX.JOIN_BOUNDS
         )
 
+    def self_join_rects(sf):
+        # self-join: each unordered intersecting rect pair once
+        # (left_id < right_id), bounded to ids < 24000 so the SQL
+        # nested-loop oracle stays tractable at every scale factor
+        import pyarrow.compute as pc
+
+        ds = FX.rects_ds(sf).map_batches(
+            lambda b: b.filter(pc.less(b["id"], 24000)),
+            batch_format="pyarrow", batch_size=None)
+        return ops.spatial_self_join(ds, level=5, bounds=FX.RECTS_BOUNDS)
+
     def spatial_join_payload(sf):
         # payload forwarding: the reference yields the full objects
         # (t, u) (rtree.rs:522-534); carry_* forwards chosen columns
@@ -700,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_neighbors_ties": nearest_neighbors_ties,
         "pop_nearest_neighbor": pop_nearest_neighbor,
         "spatial_join": spatial_join,
+        "self_join_rects": self_join_rects,
         "tile_histogram": tile_histogram,
         "jaccard_pairs_prefix": jaccard_pairs_prefix,
         # -- (2) driver-checked once (new in r03) ---------------------------
@@ -873,6 +885,13 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": (
             f"SELECT a.id AS left_id, b.id AS right_id FROM ({JL}) a, ({JR}) b "
             "WHERE a.minx <= b.maxx AND a.maxx >= b.minx "
+            "AND a.miny <= b.maxy AND a.maxy >= b.miny"
+        ),
+        "self_join_rects": (
+            "WITH r AS (SELECT * FROM (" + R + ") WHERE id < 24000) "
+            "SELECT a.id AS left_id, b.id AS right_id "
+            "FROM r a JOIN r b ON a.id < b.id "
+            "AND a.minx <= b.maxx AND a.maxx >= b.minx "
             "AND a.miny <= b.maxy AND a.maxy >= b.miny"
         ),
         "spatial_join_payload": (

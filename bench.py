@@ -46,17 +46,11 @@ def _pipelines():
         ).count()
 
     def q_self_join():
-        # lineitem-rect self join (both directions + self pairs), then keep
-        # each unordered pair once
-        import pyarrow as pa_
-        import pyarrow.compute as pc_
-
-        pairs = ops.spatial_join(
-            FX.rects_ds(SF_DIR), FX.rects_ds(SF_DIR), level=5, bounds=FX.RECTS_BOUNDS
-        )
-        return pairs.map_batches(
-            lambda b: b.filter(pc_.less(b["left_id"], b["right_id"])),
-            batch_format="pyarrow", batch_size=None,
+        # lineitem-rect self join, each unordered pair once (the
+        # dedicated self-join replicates the table once and filters
+        # a<b inside the cell task)
+        return ops.spatial_self_join(
+            FX.rects_ds(SF_DIR), level=5, bounds=FX.RECTS_BOUNDS
         ).count()
 
     state = {}

@@ -492,3 +492,28 @@ def test_queries_window_rotates_least_recently_checked_first():
     names = list(e.queries().keys())
     ranks = [last.get(n, 0) for n in names]
     assert ranks == sorted(ranks), "queries() not LRU-ordered"
+
+
+def test_spatial_self_join_equals_filtered_two_sided(ray_session, sf_small):
+    """spatial_self_join must produce exactly the unordered pair set of
+    the two-sided join filtered to left_id < right_id (single
+    replication + in-task id-order filter is an optimization, not a
+    semantics change)."""
+    import pyarrow.compute as pc
+
+    two = ops.spatial_join(
+        FX.rects_ds(sf_small), FX.rects_ds(sf_small), level=5,
+        bounds=FX.RECTS_BOUNDS,
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["left_id"], b["right_id"])),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
+    one = ops.spatial_self_join(
+        FX.rects_ds(sf_small), level=5, bounds=FX.RECTS_BOUNDS
+    ).to_pandas()
+    # multiset equality: the fixture contains duplicate ids (two rects
+    # share id 3069 at sf0.001), so a pair can legitimately appear once
+    # per geometric pair — both paths and the SQL oracle agree on that
+    a = sorted(map(tuple, two[["left_id", "right_id"]].to_numpy()))
+    b = sorted(map(tuple, one[["left_id", "right_id"]].to_numpy()))
+    assert a == b and len(a) > 0
