@@ -1201,45 +1201,87 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
     sh_ds = ds.map_batches(shingles, batch_format="pyarrow", batch_size=None)
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        """Vectorized self-merge on the exact shingle hash. All rows of
-        one shingle are co-located here, so its true document frequency
-        is computable in place — the df_cap guard drops hot shingles
-        BEFORE the quadratic merge."""
+        """All same-shingle doc pairs of this bucket, aggregated to one
+        row per (a, b) — pure numpy: sort by (shingle, id), enumerate
+        each shingle segment's upper triangle arithmetically (ids
+        ascending within a segment, so a < b by construction), then one
+        (a, b) lexsort + reduceat for the per-pair counts/firsts/maxes.
+        A doc's DISTINCT shingles mean a segment never repeats an id.
+        All rows of one shingle are co-located here, so its true
+        document frequency is computable in place — the df_cap guard
+        drops hot shingles BEFORE the quadratic enumeration."""
+        empty_cols = {"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int32()),
+                      "sa": pa.array([], type=pa.int32()),
+                      "sb": pa.array([], type=pa.int32())}
         has_pos = "pos" in g.column_names
-        g = g.select([id_col, "sh", "sz", *(["pos"] if has_pos else [])]
-                     ).to_pandas()
+        if has_pos:
+            empty_cols["mpa"] = pa.array([], type=pa.int32())
+            empty_cols["mpb"] = pa.array([], type=pa.int32())
+        empty_cols["__pb"] = pa.array([], type=pa.int64())
+        if g.num_rows == 0 or "sh" not in g.column_names:
+            return pa.table(empty_cols)
+        ids = g.column(id_col).to_numpy()
+        sh = g.column("sh").to_numpy()
+        sz = g.column("sz").to_numpy()
+        pos = g.column("pos").to_numpy() if has_pos else None
+        order = np.lexsort((ids, sh))
+        sh_s = sh[order]
+        n = len(sh_s)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = sh_s[1:] != sh_s[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(boundary, np.arange(n), 0))
+        seg_len = np.zeros(n, dtype=np.int64)
+        starts = np.nonzero(boundary)[0]
+        lens = np.diff(np.append(starts, n))
+        seg_len[starts] = lens
+        f = np.repeat(lens, lens)            # segment length per row
+        within = np.arange(n) - seg_start    # rank within segment
         if df_cap is not None:
-            df = g.groupby("sh", sort=False)["sh"].transform("size")
-            g = g[df <= df_cap]
-        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+            keepable = f <= df_cap
+        else:
+            keepable = np.ones(n, dtype=bool)
+        # upper-triangle enumeration: row r pairs with the
+        # (f - 1 - within) rows after it in its segment
+        reps = np.where(keepable, f - 1 - within, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table(empty_cols)
+        ai = np.repeat(np.arange(n), reps)
+        block_start = np.cumsum(reps) - reps
+        bi = ai + 1 + (np.arange(total) - block_start[ai])
+        ga, gb = order[ai], order[bi]
         # length filter, exact in every mode: J = c/(sa+sb-c) <=
         # min/max < tau when sizes are incompatible — drop those pairs
         # BEFORE they enter the pair-sum exchange (the volume driver:
         # sum over shingles of df^2 partial rows)
-        sa = m["sz_a"].to_numpy(dtype=np.float64)
-        sb = m["sz_b"].to_numpy(dtype=np.float64)
-        m = m[np.minimum(sa, sb) * (1.0 + 1e-12) >= tau * np.maximum(sa, sb)]
-        aggs = {"c": ("sh", "size"), "sa": ("sz_a", "first"),
-                "sb": ("sz_b", "first")}
+        sa_v = sz[ga].astype(np.float64)
+        sb_v = sz[gb].astype(np.float64)
+        m = np.minimum(sa_v, sb_v) * (1.0 + 1e-12) >= \
+            tau * np.maximum(sa_v, sb_v)
+        ga, gb = ga[m], gb[m]
+        if len(ga) == 0:
+            return pa.table(empty_cols)
+        a_v, b_v = ids[ga], ids[gb]
+        # one lexsort + segment reduceat replaces the pandas groupby agg
+        po = np.lexsort((b_v, a_v))
+        a_v, b_v, ga, gb = a_v[po], b_v[po], ga[po], gb[po]
+        pb = np.empty(len(a_v), dtype=bool)
+        pb[0] = True
+        pb[1:] = (a_v[1:] != a_v[:-1]) | (b_v[1:] != b_v[:-1])
+        seg = np.nonzero(pb)[0]
+        c = np.diff(np.append(seg, len(a_v))).astype(np.int32)
+        out = {"a": a_v[seg], "b": b_v[seg], "c": c,
+               "sa": sz[ga[seg]].astype(np.int32),
+               "sb": sz[gb[seg]].astype(np.int32)}
         if has_pos:
-            # per-pair max matched-prefix positions (positions are hash
-            # ranks, so the max-hash counted common holds the max
-            # position in BOTH docs — these maxes feed a sound PPJoin
-            # positional bound in the pair-sum stage)
-            aggs["mpa"] = ("pos_a", "max")
-            aggs["mpb"] = ("pos_b", "max")
-        out = (
-            m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)
-            .agg(**aggs)
-            .reset_index()
-        )
-        out = out.rename(columns={f"{id_col}_a": "a", f"{id_col}_b": "b"})
-        out["__pb"] = _pair_bucket(out["a"].to_numpy(dtype=np.int64),
-                                   out["b"].to_numpy(dtype=np.int64), nb)
-        # metadata-free schema: pandas metadata breaks pa.Schema hashing
-        return pa.Table.from_pandas(
-            out, preserve_index=False).replace_schema_metadata(None)
+            out["mpa"] = np.maximum.reduceat(pos[ga], seg).astype(np.int32)
+            out["mpb"] = np.maximum.reduceat(pos[gb], seg).astype(np.int32)
+        out["__pb"] = _pair_bucket(out["a"], out["b"], nb)
+        return pa.table(out)
 
     # shingle-hash exchange: sort-free two-wave direct split+gather when
     # the input fits (the spatial_join round-3 win — Ray's sort-based
