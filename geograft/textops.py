@@ -1304,19 +1304,23 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
         if g.num_rows == 0 or "a" not in g.column_names:
             return pa.table(empty_cols)
         has_pos = "mpa" in g.column_names
-        cols = ["a", "b", "c", "sa", "sb", *(["mpa", "mpb"] if has_pos else [])]
-        aggs = {"c": ("c", "sum"), "sa": ("sa", "first"),
-                "sb": ("sb", "first")}
-        if has_pos:
-            aggs["mpa"] = ("mpa", "max")
-            aggs["mpb"] = ("mpb", "max")
-        out = (g.select(cols).to_pandas()
-               .groupby(["a", "b"], sort=False).agg(**aggs).reset_index())
-        a = out["a"].to_numpy(dtype=np.int64)
-        bb = out["b"].to_numpy(dtype=np.int64)
-        c = out["c"].to_numpy(dtype=np.float64)
-        sa = out["sa"].to_numpy(dtype=np.float64)
-        sb = out["sb"].to_numpy(dtype=np.float64)
+        # lexsort + reduceat in place of a pandas groupby agg — the
+        # partial stream is the pipeline's volume peak (~18M rows on
+        # the 200k-doc suite corpus)
+        a_r = g.column("a").to_numpy()
+        b_r = g.column("b").to_numpy()
+        c_r = g.column("c").to_numpy().astype(np.int64)
+        po = np.lexsort((b_r, a_r))
+        a_r, b_r, c_r = a_r[po], b_r[po], c_r[po]
+        nb_mask = np.empty(len(a_r), dtype=bool)
+        nb_mask[0] = True
+        nb_mask[1:] = (a_r[1:] != a_r[:-1]) | (b_r[1:] != b_r[:-1])
+        seg = np.nonzero(nb_mask)[0]
+        a = a_r[seg].astype(np.int64)
+        bb = b_r[seg].astype(np.int64)
+        c = np.add.reduceat(c_r, seg).astype(np.float64)
+        sa = g.column("sa").to_numpy()[po][seg].astype(np.float64)
+        sb = g.column("sb").to_numpy()[po][seg].astype(np.float64)
         if naive:
             # full index: the summed c IS the exact intersection
             jac = c / (sa + sb - c)
@@ -1342,8 +1346,10 @@ def jaccard_pairs_exact(ds, tau: float, k: int = 3,
             # total overlap <= c + min of both; J >= tau needs total
             # overlap >= tau/(1+tau)*(|A|+|B|). Kills the
             # one-shared-shingle candidate flood BEFORE payloads ship.
-            mpa = out["mpa"].to_numpy(dtype=np.float64)
-            mpb = out["mpb"].to_numpy(dtype=np.float64)
+            mpa = np.maximum.reduceat(
+                g.column("mpa").to_numpy()[po], seg).astype(np.float64)
+            mpb = np.maximum.reduceat(
+                g.column("mpb").to_numpy()[po], seg).astype(np.float64)
             sfx = np.maximum(np.ceil(tau * sa), np.ceil(tau * sb)) - 1.0
             rem = np.minimum(sa - 1.0 - mpa, sb - 1.0 - mpb)
             max_total = c + np.minimum(sfx, rem)
