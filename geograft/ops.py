@@ -778,19 +778,16 @@ def locate_in_envelope_multi(ds, boxes: "pa.Table", intersecting: bool = True):
         # pruned traversal beats the dense (rows x boxes) matrix on both
         # work and memory bandwidth
         tree = PTree(lo, up)
-        out_b, out_i = [], []
-        for j in range(len(q["box_id"])):
-            if intersecting:
-                idx = tree.locate_in_envelope_intersecting(q["lo"][j], q["up"][j])
-            else:
-                idx = tree.locate_in_envelope(q["lo"][j], q["up"][j])
-            if len(idx):
-                out_b.append(np.full(len(idx), q["box_id"][j], dtype=np.int64))
-                out_i.append(ids[idx])
-        if not out_b:
+        # one vectorized level-wise sweep answers ALL boxes (the same
+        # batched kernel the index actors use) — a python loop over
+        # boxes re-entered the traversal per query
+        rq, ridx = tree.locate_batch(
+            q["lo"], q["up"],
+            "intersects" if intersecting else "contained")
+        if len(rq) == 0:
             return pa.table({"box_id": pa.array([], type=pa.int64()),
                              "id": pa.array([], type=pa.int64())})
-        return pa.table({"box_id": np.concatenate(out_b), "id": np.concatenate(out_i)})
+        return pa.table({"box_id": q["box_id"][rq], "id": ids[ridx]})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 

@@ -517,3 +517,26 @@ def test_spatial_self_join_equals_filtered_two_sided(ray_session, sf_small):
     a = sorted(map(tuple, two[["left_id", "right_id"]].to_numpy()))
     b = sorted(map(tuple, one[["left_id", "right_id"]].to_numpy()))
     assert a == b and len(a) > 0
+
+
+def test_locate_in_envelope_multi_both_modes(ray_session, sf_small):
+    """Batched multi-box queries must equal per-box single queries in
+    BOTH modes (contained / intersecting) — pins the batched-kernel
+    mode mapping."""
+    import pyarrow as pa
+
+    boxes = [(1000.0, 10.0, 30000.0, 60.0), (500.0, 5.0, 2000.0, 20.0)]
+    bt = pa.table({
+        "box_id": list(range(len(boxes))),
+        "minx": [b[0] for b in boxes], "miny": [b[1] for b in boxes],
+        "maxx": [b[2] for b in boxes], "maxy": [b[3] for b in boxes],
+    })
+    for inter in (True, False):
+        got = ops.locate_in_envelope_multi(
+            FX.rects_ds(sf_small), bt, intersecting=inter).to_pandas()
+        for j, b in enumerate(boxes):
+            single = (ops.locate_in_envelope_intersecting if inter
+                      else ops.locate_in_envelope)(FX.rects_ds(sf_small), *b)
+            want = set(single.to_pandas()["id"])
+            assert set(got[got["box_id"] == j]["id"]) == want
+            assert len(want) > 0 or not inter
