@@ -555,6 +555,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out[["vec_id"]]
 
+    def ann_indexed_topk(sf):
+        # build-once/query-many ANN: persisted IVF index (one parquet
+        # list per centroid + manifest with the quantizer), probes read
+        # only their lists. nprobe = n_centroids is EXACT (pytest pins
+        # equality with cosine_topk); the driver row runs the pruned
+        # approximate path -> rows-only
+        import hashlib
+        import pyarrow.parquet as pq
+
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        path = f"/tmp/geograft_ann_idx_{tag}"
+        emb = read_parquet_sized(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+        A.build_ann_index(emb, path, n_centroids=16, iters=3)
+        q = pq.read_table(
+            f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
+        )
+        qv = A._emb_matrix(q)
+        out = A.ann_query_index(path, qv, k=10, nprobe=6)
+        return out[["vec_id"]]
+
     def ann_cosine_topk_ivf(sf):
         # IVF scale path: spherical-k-means coarse quantizer (k-means||
         # style two-level maxmin init + per-block partial-sum iterations),
@@ -752,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+        "ann_indexed_topk": ann_indexed_topk,
         # -- tail: driver-green r02 AND r03, code untouched this round ------
         "locate_in_box_3d": locate_in_box_3d,
         "locate_in_box_int": locate_in_box_int,

@@ -501,3 +501,172 @@ def cosine_topk_ivf(ds, query_vecs: np.ndarray, k: int,
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _cos_topk_finish(cand, k, id_col)
+
+
+# --------------------------------------------------------------------------
+# Persisted ANN index (build-once / query-many, the spatial-index shape)
+# --------------------------------------------------------------------------
+
+ANN_MANIFEST = "_ann_manifest.json"
+
+
+def build_ann_index(ds, path: str, n_centroids: int = 64, iters: int = 4,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    resume: bool = True) -> dict:
+    """Persist an IVF index: train the coarse quantizer (ivf_build),
+    shuffle rows once on their centroid id, write one parquet list per
+    centroid + a manifest holding the centroid matrix and per-list
+    lineage (rows/bytes/file) — the embedding twin of
+    pipeline.build_partitioned_index. Queries then read ONLY their
+    probed lists (ann_query_index). Resume skips finished lists, same
+    checkpoint contract as the spatial build."""
+    import json
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from .ops import coarse_group_by_cell
+
+    t0 = _time.perf_counter()
+    os.makedirs(path, exist_ok=True)
+    man_path = os.path.join(path, ANN_MANIFEST)
+    done: dict[str, dict] = {}
+    cm = None
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        done = old["lists"]
+        # the quantizer must be REUSED on resume: list membership is
+        # only meaningful under the centroids that produced it
+        cm = np.asarray(old["centroids"], dtype=np.float64)
+    if cm is None:
+        cm = ivf_build(ds, n_centroids, iters, emb_col)
+    assigned = ivf_assign(ds.select_columns([id_col, emb_col]), cm, emb_col)
+    done_ids = {int(c) for c in done}
+
+    def write_list(group: pa.Table) -> pa.Table:
+        out_c, out_r, out_b, out_s = [], [], [], []
+        if group.num_rows and "cid" in group.column_names:
+            cids = group.column("cid").to_numpy()
+            order = np.argsort(cids, kind="stable")
+            cs = cids[order]
+            bnd = np.concatenate(
+                [[0], np.nonzero(cs[1:] != cs[:-1])[0] + 1, [len(cs)]])
+            for gi in range(len(bnd) - 1):
+                rows = order[bnd[gi]: bnd[gi + 1]]
+                cid = int(cs[bnd[gi]])
+                if cid in done_ids:
+                    p = done[str(cid)]
+                    out_c.append(cid); out_r.append(p["rows"])
+                    out_b.append(p["bytes"]); out_s.append(1)
+                    continue
+                part = group.take(pa.array(rows))
+                if "__cg" in part.column_names:
+                    part = part.drop_columns(["__cg"])
+                fname = os.path.join(path, f"list-{cid}.parquet")
+                tmp = fname + ".tmp"
+                pq.write_table(part, tmp)
+                os.replace(tmp, fname)
+                out_c.append(cid); out_r.append(len(part))
+                out_b.append(os.path.getsize(fname)); out_s.append(0)
+        return pa.table({"cid": pa.array(out_c, type=pa.int64()),
+                         "rows": pa.array(out_r, type=pa.int64()),
+                         "bytes": pa.array(out_b, type=pa.int64()),
+                         "skipped": pa.array(out_s, type=pa.int64())})
+
+    stats = coarse_group_by_cell(assigned, write_list,
+                                 key_col="cid").to_pandas()
+    man = {
+        "centroids": cm.tolist(),
+        "id_col": id_col, "emb_col": emb_col,
+        "n_centroids": int(n_centroids),
+        "total_rows": int(stats["rows"].sum()),
+        "built_lists": int((stats["skipped"] == 0).sum()),
+        "resumed_lists": int((stats["skipped"] == 1).sum()),
+        "wall_sec": round(_time.perf_counter() - t0, 3),
+        "lists": {str(int(r.cid)): {"file": f"list-{int(r.cid)}.parquet",
+                                    "rows": int(r.rows),
+                                    "bytes": int(r.bytes)}
+                  for r in stats.itertuples()},
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, man_path)
+    return man
+
+
+def ann_query_index(path: str, query_vecs: np.ndarray, k: int,
+                    nprobe: int = 8):
+    """Approximate cosine top-k against a BUILT ANN index: rank
+    centroids per query from the manifest (driver-side, tiny), read
+    ONLY the probed lists, answer routed queries per block, finish with
+    the shared distributed top-k reduce. nprobe = n_centroids degrades
+    to EXACT brute force (pytest pins that identity)."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(path, ANN_MANIFEST)) as f:
+        man = json.load(f)
+    cm = np.asarray(man["centroids"], dtype=np.float64)
+    id_col, emb_col = man["id_col"], man["emb_col"]
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    nprobe = min(nprobe, len(cm))
+    probes = np.argsort(-(q @ cm.T), axis=1, kind="stable")[:, :nprobe]
+    order = np.argsort(probes.ravel(), kind="stable")
+    flat_cid = probes.ravel()[order]
+    flat_qid = np.repeat(np.arange(len(q), dtype=np.int64), nprobe)[order]
+    touched = [int(c) for c in np.unique(flat_cid)
+               if str(int(c)) in man["lists"]]
+    if not touched:
+        import pandas as pd
+
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "cos": pd.Series([], dtype=np.float64)})
+    qref = ray.put({"q": q, "cids": flat_cid, "qids": flat_qid})
+    files = [os.path.join(path, man["lists"][str(c)]["file"])
+             for c in touched]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        st = ray.get(qref)
+        empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                          id_col: pa.array([], type=pa.int64()),
+                          "cos": pa.array([], type=pa.float64())})
+        if len(batch) == 0:
+            return empty
+        m = _normalize(_emb_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy()
+        rid = np.argsort(ids, kind="stable")  # (cos, id) tie contract
+        ids, m = ids[rid], m[rid]
+        cid_rows = batch.column("cid").to_numpy()[rid]
+        out_q, out_i, out_c = [], [], []
+        from .ops import _topk_rows_per_col
+
+        for cid in np.unique(cid_rows):
+            s0 = np.searchsorted(st["cids"], cid, side="left")
+            s1 = np.searchsorted(st["cids"], cid, side="right")
+            if s1 == s0:
+                continue
+            qis = st["qids"][s0:s1]
+            rows = cid_rows == cid
+            sims = m[rows] @ st["q"][qis].T
+            kk = min(k, int(rows.sum()))
+            part = _topk_rows_per_col(-sims, kk)
+            out_q.append(np.repeat(qis, kk))
+            out_i.append(ids[rows][part].ravel(order="F"))
+            out_c.append(
+                np.take_along_axis(sims, part, axis=0).ravel(order="F"))
+        if not out_q:
+            return empty
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_i),
+                         "cos": np.concatenate(out_c)})
+
+    ds = rd.read_parquet(files, override_num_blocks=min(64, len(files)))
+    cand = ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    return _cos_topk_finish(cand, k, id_col)

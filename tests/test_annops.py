@@ -182,3 +182,42 @@ def test_ivf_build_assign_and_recall(ray_session):
     again = A.cosine_topk_ivf(ds(), q, k=10, n_centroids=n_clusters,
                               nprobe=3, iters=5)
     assert approx.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_ann_index_build_query_exact_and_resume(ray_session, sf_small, tmp_path):
+    """Persisted IVF index: (1) nprobe=n_centroids degrades to EXACT
+    brute force (same rows as cosine_topk, ties included); (2) nprobe=4
+    keeps decent recall; (3) a rebuild resumes every finished list and
+    REUSES the stored quantizer."""
+    import pyarrow.parquet as pq
+
+    from geograft import annops as A
+    from geograft.io import read_parquet_sized
+
+    path = str(tmp_path / "annidx")
+    emb = read_parquet_sized(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    man = A.build_ann_index(emb, path, n_centroids=16, iters=3)
+    assert man["total_rows"] == emb.count()
+    assert man["built_lists"] == len(man["lists"]) > 1
+
+    q = pq.read_table(f"{sf_small}/embeddings.parquet").slice(0, 8)
+    qv = A._emb_matrix(q)
+    exact = A.cosine_topk(emb, qv, k=5)
+    full = A.ann_query_index(path, qv, k=5, nprobe=16)
+    # same (qid, vec_id) rows in the same order; cos to 1 ulp (BLAS
+    # blocking differs between the full-block and per-list matmuls)
+    assert full[["qid", "vec_id"]].reset_index(drop=True).equals(
+        exact[["qid", "vec_id"]].reset_index(drop=True))
+    np.testing.assert_allclose(full["cos"].to_numpy(),
+                               exact["cos"].to_numpy(), atol=1e-12)
+
+    approx = A.ann_query_index(path, qv, k=5, nprobe=4)
+    got = set(map(tuple, approx[["qid", "vec_id"]].to_numpy()))
+    want = set(map(tuple, exact[["qid", "vec_id"]].to_numpy()))
+    assert len(got & want) / len(want) >= 0.5
+
+    man2 = A.build_ann_index(emb, path, n_centroids=16, iters=3)
+    assert man2["built_lists"] == 0
+    assert man2["resumed_lists"] == len(man["lists"])
+    assert man2["centroids"] == man["centroids"]
