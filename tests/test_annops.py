@@ -221,3 +221,20 @@ def test_ann_index_build_query_exact_and_resume(ray_session, sf_small, tmp_path)
     assert man2["built_lists"] == 0
     assert man2["resumed_lists"] == len(man["lists"])
     assert man2["centroids"] == man["centroids"]
+
+
+def test_ann_query_index_no_matching_lists(ray_session, sf_small, tmp_path):
+    """Queries probing only empty/absent lists return a typed empty
+    frame (schema stable for the driver compare)."""
+    import numpy as np
+
+    from geograft import annops as A
+    from geograft.io import read_parquet_sized
+
+    path = str(tmp_path / "annidx2")
+    emb = read_parquet_sized(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    man = A.build_ann_index(emb, path, n_centroids=8, iters=2)
+    d = len(man["centroids"][0])
+    out = A.ann_query_index(path, np.ones((2, d)), k=3, nprobe=2)
+    assert list(out.columns) == ["qid", "vec_id", "cos"]

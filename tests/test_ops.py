@@ -540,3 +540,22 @@ def test_locate_in_envelope_multi_both_modes(ray_session, sf_small):
             want = set(single.to_pandas()["id"])
             assert set(got[got["box_id"] == j]["id"]) == want
             assert len(want) > 0 or not inter
+
+
+def test_spatial_self_join_empty_input(ray_session):
+    """Empty input -> typed empty pair table (schema stable)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft import grid as G
+
+    empty = rd.from_arrow(pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "minx": pa.array([], type=pa.float64()),
+        "miny": pa.array([], type=pa.float64()),
+        "maxx": pa.array([], type=pa.float64()),
+        "maxy": pa.array([], type=pa.float64()),
+    }))
+    out = ops.spatial_self_join(empty, level=3, bounds=G.Bounds(0, 0, 10, 10))
+    df = out.to_pandas()
+    assert len(df) == 0
