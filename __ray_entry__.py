@@ -1061,10 +1061,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
         ),
-        # neardup_minhash / lang_id / ann_cosine_topk_lsh /
-        # embedding_neardup: probabilistic or model-style ops -> no SQL
-        # oracle (driver records rows-only); their exactness/soundness
-        # oracles live in tests/.
+        # neardup_minhash / ann_cosine_topk_lsh / ann_cosine_topk_ivf /
+        # ann_indexed_topk / embedding_neardup / media_features:
+        # probabilistic or binary-decode ops -> no SQL oracle (driver
+        # records rows-only); their exactness/soundness oracles live in
+        # tests/.
+        # lang_id IS exact: the stopword heuristic is deterministic and
+        # the SQL below is GENERATED from the same tables.
+        "lang_id": _T.lang_id_oracle_sql(),
         # simhash / neardup_simhash_pairs / doc_fingerprint ARE exact:
         # their token hash (textops._sql_hash) is FNV-1a over code
         # points + splitmix64, chosen to be DuckDB-recomputable; the SQL

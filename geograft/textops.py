@@ -448,6 +448,53 @@ class LangId:
         return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(langs)})
 
 
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB SQL reproducing `lang_id` exactly — GENERATED from the
+    same _STOPWORDS tables (scrub_pii precedent, so engine and oracle
+    cannot drift): lowercase [a-zA-Z']-run tokens, per-language
+    stopword hit counts, argmax with ties to the FIRST language in
+    table order (the engine's np.argmax), 'unknown' when no language
+    scores. The engine tests membership by 64-bit token hash; equality
+    holds absent a hash collision between a corpus token and a stopword
+    (~1e-17 per corpus)."""
+    langs = list(_STOPWORDS)
+    hit_cols = []
+    for lang in langs:
+        words = ", ".join("'" + w.replace("'", "''") + "'"
+                          for w in sorted(_STOPWORDS[lang]))
+        hit_cols.append(
+            f"sum(CASE WHEN tok IN ({words}) THEN 1 ELSE 0 END) AS h_{lang}")
+    # ordered >= chain == np.argmax first-max tie rule
+    case = "CASE WHEN " + " + ".join(f"coalesce(h_{lang}, 0)"
+                                     for lang in langs) + " = 0 " \
+        "OR " + " IS NULL AND ".join(f"h_{lang}" for lang in langs) + \
+        " IS NULL THEN 'unknown' "
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"coalesce(h_{lang}, 0) >= coalesce(h_{other}, 0)"
+            for other in langs[i + 1:]) or "TRUE"
+        prior = " AND ".join(
+            f"coalesce(h_{lang}, 0) > coalesce(h_{other}, 0)"
+            for other in langs[:i])
+        cond = conds if not prior else f"{prior} AND {conds}"
+        case += f"WHEN coalesce(h_{lang}, 0) > 0 AND {cond} " \
+                f"THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"""WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(
+           string_split_regex(lower({text_col}), '[^a-zA-Z'']+'),
+           t -> t <> '')) AS tok
+  FROM {table}
+), hits AS (
+  SELECT id, {', '.join(hit_cols)} FROM toks GROUP BY id
+)
+SELECT d.{id_col}, {case} AS lang_pred
+FROM {table} d LEFT JOIN hits h ON d.{id_col} = h.id
+ORDER BY d.{id_col}"""
+
+
 def lang_id(ds, concurrency: int = 2):
     return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096,
                           concurrency=concurrency)

@@ -467,3 +467,27 @@ def test_tokens_sql_matches_flat_tokens_on_unicode_whitespace():
     pos = np.cumsum(lens) - lens
     eng_toks = [flat[pos[i]: pos[i] + lens[i]] for i in range(len(texts))]
     assert sql_toks == eng_toks
+
+
+def test_lang_id_oracle_matches_engine_on_tricky_texts(ray_session):
+    """Generated lang_id SQL == engine on apostrophes, case, ties
+    (first-language argmax), zero-token and empty docs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geograft.textops import lang_id, lang_id_oracle_sql
+
+    texts = ["The THE the and of", "der und ist", "le la de de",
+             "el la de y", "de de de",          # fr/es tie -> fr (order)
+             "don't won't can't", "", "12345 !!!", "und the",  # en/de tie -> en
+             "LE ET EST pour dans"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    eng = lang_id(rd.from_pandas(df), concurrency=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    got = con.sql(lang_id_oracle_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(eng["lang_pred"]) == list(got["lang_pred"])
