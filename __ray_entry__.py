@@ -708,6 +708,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["event_id", "o_orderdate"])
 
+    def events_asof_strkey(sf):
+        # as-of join on STRING keys (VERDICT r04 item 2): the user id is
+        # re-expressed as a string key ('u<id>') on both sides, driving
+        # the _key_hash_for_bucket route + exact __keyval merge
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def lkey(b: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                "u", pc.cast(b.column("user_id"), pa.string()), "")
+            return b.drop_columns(["user_id"]).append_column("ukey", k)
+
+        def rkey(b: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                "u", pc.cast(b.column("o_custkey"), pa.string()), "")
+            return b.drop_columns(["o_custkey"]).append_column("okey", k)
+
+        out = EV.asof_join(
+            read_parquet_sized(f"{sf}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+            .map_batches(lkey, batch_format="pyarrow", batch_size=None),
+            read_parquet_sized(f"{sf}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"])
+            .map_batches(rkey, batch_format="pyarrow", batch_size=None),
+            left_key="ukey", right_key="okey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_cols=["o_orderdate"],
+        )
+        return out.select_columns(["event_id", "o_orderdate"])
+
     # ORDER MATTERS: the driver's correctness gate records at most the
     # first 50 entries. Standing rotation policy (VERDICT r03 item 2):
     # least-recently-driver-checked FIRST, so no query goes more than
@@ -751,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events_hopping,
         "events_sessions": events_sessions,
         "events_asof_orders": events_asof_orders,
+        "events_asof_strkey": events_asof_strkey,
         "indexed_knn": indexed_knn,
         "spatial_join_payload": spatial_join_payload,
         "spatial_join_3d": spatial_join_3d,
@@ -1126,6 +1157,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, m.o_orderdate FROM events e LEFT JOIN ("
             "SELECT e2.event_id AS eid, max(o.o_orderdate) AS o_orderdate "
             "FROM events e2 JOIN orders o ON o.o_custkey = e2.user_id "
+            "AND o.o_orderdate <= e2.ts GROUP BY 1) m ON m.eid = e.event_id"
+        ),
+        "events_asof_strkey": (
+            "SELECT e.event_id, m.o_orderdate FROM events e LEFT JOIN ("
+            "SELECT e2.event_id AS eid, max(o.o_orderdate) AS o_orderdate "
+            "FROM events e2 JOIN orders o "
+            "ON ('u' || CAST(o.o_custkey AS VARCHAR)) = "
+            "('u' || CAST(e2.user_id AS VARCHAR)) "
             "AND o.o_orderdate <= e2.ts GROUP BY 1) m ON m.eid = e.event_id"
         ),
         "ann_cosine_topk": (

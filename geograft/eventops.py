@@ -206,11 +206,27 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
             "rename the right side before joining"
         )
 
+    # the bucket routes on a 64-bit hash (__key); the exact key value
+    # travels as __keyval so a hash collision between two distinct keys
+    # (possible with string keys) can never cross-match in merge_asof.
+    lsch0, rsch0 = left_ds.schema(), right_ds.schema()
+    lk_t = lsch0.types[lsch0.names.index(left_key)]
+    rk_t = rsch0.types[rsch0.names.index(right_key)]
+    if pa.types.is_integer(lk_t) and pa.types.is_integer(rk_t):
+        keyval_t = pa.int64()
+    else:
+        keyval_t = pa.large_string() if (
+            pa.types.is_large_string(lk_t) or pa.types.is_large_string(rk_t)
+        ) else pa.string()
+
     def tag(side: int, key: str, ts: str, keep: list[str]):
         def f(b: pa.Table) -> pa.Table:
-            k = b.column(key).to_numpy()
+            karr = b.column(key)
+            if isinstance(karr, pa.ChunkedArray):
+                karr = karr.combine_chunks()
             out = {
-                "__key": pa.array(k.astype(np.int64)),
+                "__key": pa.array(_key_hash_for_bucket(karr)),
+                "__keyval": karr.cast(keyval_t),
                 "__ts": _ts_us(b.column(ts)),
                 "__side": pa.array(np.full(len(b), side, dtype=np.int8)),
             }
@@ -238,8 +254,8 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
 
     # expected tagged schemas, derived from the INPUT schemas (an empty
     # side's post-map schema is unknown — Ray skips UDFs on empty data)
-    meta_fields = [("__key", pa.int64()), ("__ts", pa.int64()),
-                   ("__side", pa.int8())]
+    meta_fields = [("__key", pa.int64()), ("__keyval", keyval_t),
+                   ("__ts", pa.int64()), ("__side", pa.int8())]
     lsch = left_ds.schema()
     rsch = right_ds.schema()
     l_fields = dict(meta_fields)
@@ -274,15 +290,15 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
             return _empty_out()
         side = g.column("__side").to_numpy()
         lg = g.filter(pa.array(side == 0)).select(
-            ["__key", "__ts", *left_cols]).to_pandas()
+            ["__keyval", "__ts", *left_cols]).to_pandas()
         if len(lg) == 0:
             return _empty_out()
         rg = g.filter(pa.array(side == 1)).select(
-            ["__key", "__ts", *right_cols]).to_pandas()
+            ["__keyval", "__ts", *right_cols]).to_pandas()
         lg = lg.sort_values("__ts", kind="stable")
         rg = rg.sort_values("__ts", kind="stable")
         merged = pd.merge_asof(
-            lg, rg, on="__ts", by="__key", direction="backward",
+            lg, rg, on="__ts", by="__keyval", direction="backward",
         )
         return pa.table(
             {c: pa.array(merged[c], type=t, from_pandas=True)

@@ -158,3 +158,82 @@ def test_asof_rejects_colliding_right_cols(ray_session):
             left_key="k", right_key="k2", left_ts="ts", right_ts="d",
             right_cols=["tag"],
         )
+
+
+def test_asof_string_keys(ray_session):
+    """String join keys route through the bucket hash but merge on the
+    exact key value (VERDICT r04 item 2). Includes two keys that would
+    collide if merging on a SMALL hash — distinct strings must never
+    cross-match regardless of bucketing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({
+        "eid": [1, 2, 3, 4],
+        "k": ["alice", "bob", "alice", "carol"],
+        "ts": pa.array([100, 100, 50, 100], type=pa.int64()),
+    })
+    right = pa.table({
+        "k2": ["alice", "bob", "bob"],
+        "d": pa.array([60, 40, 90], type=pa.int64()),
+        "tag": [10, 20, 30],
+    })
+    out = E.asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_key="k", right_key="k2", left_ts="ts", right_ts="d",
+        right_cols=["tag"],
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    assert out.loc[0, "tag"] == 10        # alice@100 <- alice@60
+    assert out.loc[1, "tag"] == 30        # bob@100 <- bob@90
+    assert pd.isna(out.loc[2, "tag"])     # alice@50: no right <= 50
+    assert pd.isna(out.loc[3, "tag"])     # carol: key absent on right
+    # the key column survives with its exact string dtype
+    assert list(out["k"]) == ["alice", "bob", "alice", "carol"]
+
+
+def test_asof_string_keys_vs_duckdb(ray_session, sf_small):
+    """Driver-shaped string-key as-of (events_asof_strkey) vs DuckDB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_small}/events.parquet')")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_small}/orders.parquet')")
+
+    def lkey(b):
+        k = pc.binary_join_element_wise(
+            "u", pc.cast(b.column("user_id"), pa.string()), "")
+        return b.drop_columns(["user_id"]).append_column("ukey", k)
+
+    def rkey(b):
+        k = pc.binary_join_element_wise(
+            "u", pc.cast(b.column("o_custkey"), pa.string()), "")
+        return b.drop_columns(["o_custkey"]).append_column("okey", k)
+
+    got = E.asof_join(
+        read_parquet_sized(f"{sf_small}/events.parquet",
+                           columns=["event_id", "ts", "user_id"])
+        .map_batches(lkey, batch_format="pyarrow", batch_size=None),
+        read_parquet_sized(f"{sf_small}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+        .map_batches(rkey, batch_format="pyarrow", batch_size=None),
+        left_key="ukey", right_key="okey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderdate"],
+    ).select_columns(["event_id", "o_orderdate"]).to_pandas()
+    want = con.sql(
+        "SELECT e.event_id, m.o_orderdate FROM events e LEFT JOIN ("
+        "SELECT e2.event_id AS eid, max(o.o_orderdate) AS o_orderdate "
+        "FROM events e2 JOIN orders o "
+        "ON ('u' || CAST(o.o_custkey AS VARCHAR)) = "
+        "('u' || CAST(e2.user_id AS VARCHAR)) "
+        "AND o.o_orderdate <= e2.ts GROUP BY 1) m ON m.eid = e.event_id"
+    ).df()
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["event_id"] == w["event_id"]).all()
+    gm, wm = g["o_orderdate"].isna(), w["o_orderdate"].isna()
+    assert (gm == wm).all()
+    assert (g.loc[~gm, "o_orderdate"].to_numpy()
+            == w.loc[~wm, "o_orderdate"].to_numpy()).all()
