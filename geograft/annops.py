@@ -328,26 +328,42 @@ def embedding_neardup(ds, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 def ivf_build(ds, n_centroids: int = 64, iters: int = 4,
-              emb_col: str = "embedding", seed: int = 13) -> np.ndarray:
+              emb_col: str = "embedding", seed: int = 13,
+              tree: bool | None = None) -> np.ndarray:
     """Train an IVF coarse quantizer with distributed k-means (cosine
     metric: spherical k-means — vectors and centroids normalized,
     assignment by max dot product).
 
     Each iteration is ONE map_batches pass: every block emits its
     per-centroid partial (sum, count) — an (n_centroids x d) matrix,
-    tiny regardless of data size — and the driver combines partials and
-    renormalizes. No vector ever leaves its block; the only driver
-    state is the centroid matrix itself.
+    tiny regardless of data size. On large inputs the partials fold in
+    a two-wave tree (repartition + associative per-block combine, the
+    _cos_topk_finish shape) so the driver reads ONE kc-row table per
+    iteration regardless of block count; below REDUCE_MIN_INPUT_BYTES
+    the block count is itself bounded (sized reads) and the barrier
+    waves cost more than the bounded driver fold they replace, so the
+    partials fold on the driver. No vector ever leaves its block; the
+    only driver state is the centroid matrix itself.
 
     Init is two-level farthest-point (k-means||-style): every block
     emits its own n_centroids maxmin representatives (one extra pass,
-    n_centroids x d per block), the driver runs maxmin over the union —
+    n_centroids x d per block), maxmin over the union picks the seeds —
     robust to inputs ORDERED BY CLUSTER, where a limit() sample would
-    seed a handful of clusters and strand centroids between them.
-    Deterministic for a fixed block layout; empty clusters re-seed from
-    a fixed rotation of the live set.
+    seed a handful of clusters and strand centroids between them. On
+    the tree path a combine wave runs maxmin within each rep partition
+    first, so the driver-side union is reduce_blocks x kc rows, not
+    blocks x kc. Deterministic for a fixed block layout; empty clusters
+    re-seed from a fixed rotation of the live set.
     """
     import ray
+
+    from .scale import input_bytes_estimate
+
+    if tree is None:
+        est = input_bytes_estimate(ds)
+        # unknown size == assume big (same contract as _cos_topk_finish)
+        tree = est is None or est >= REDUCE_MIN_INPUT_BYTES
+    reduce_blocks = 8
 
     def _maxmin(m: np.ndarray, count: int) -> np.ndarray:
         picked = [0]
@@ -367,13 +383,29 @@ def ivf_build(ds, n_centroids: int = 64, iters: int = 4,
         return pa.table({"rep": pa.ListArray.from_arrays(
             pa.array(off), pa.array(reps.ravel()))})
 
-    rep_blocks = [t for t in ray.get(
-        ds.map_batches(block_reps, batch_format="pyarrow", batch_size=None)
-        .to_arrow_refs()) if t.num_rows > 0]
+    def rep_combine(batch: pa.Table) -> pa.Table:
+        # associative: maxmin over the union of this partition's reps
+        # is itself a valid rep set for the partition
+        if len(batch) == 0:
+            return pa.table({"rep": pa.array([], type=pa.list_(pa.float64()))})
+        return block_reps_table(_emb_matrix(batch, "rep"))
+
+    def block_reps_table(m: np.ndarray) -> pa.Table:
+        reps = _maxmin(m, n_centroids)
+        off = np.arange(0, reps.size + 1, reps.shape[1], dtype=np.int32)
+        return pa.table({"rep": pa.ListArray.from_arrays(
+            pa.array(off), pa.array(reps.ravel()))})
+
+    reps_ds = ds.map_batches(block_reps, batch_format="pyarrow",
+                             batch_size=None)
+    if tree:
+        reps_ds = reps_ds.repartition(reduce_blocks).map_batches(
+            rep_combine, batch_format="pyarrow", batch_size=None)
+    rep_blocks = [t for t in ray.get(reps_ds.to_arrow_refs())
+                  if t.num_rows > 0]
     s = np.concatenate([_emb_matrix(t, "rep") for t in rep_blocks])
     c = _maxmin(s, n_centroids)
     d = c.shape[1]
-    import ray
 
     for _ in range(iters):
         cref = ray.put(c)
@@ -399,12 +431,41 @@ def ivf_build(ds, n_centroids: int = 64, iters: int = 4,
                     pa.array(sums.ravel()), d),
             })
 
-        parts = ray.get(
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .to_arrow_refs())
+        def ivf_combine(batch: pa.Table, kc=kc) -> pa.Table:
+            # associative fold of concatenated (cid, cnt, vsum) partials
+            # into one kc-row partial — runs in the tree waves so the
+            # driver never loops over per-block tables on large inputs
+            if len(batch) == 0:
+                return pa.table({
+                    "cid": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64(), d)),
+                })
+            cid = batch.column("cid").to_numpy()
+            sm = np.zeros((kc, d))
+            np.add.at(sm, cid, _emb_matrix(batch, "vsum"))
+            ct = np.zeros(kc, dtype=np.int64)
+            np.add.at(ct, cid, batch.column("cnt").to_numpy())
+            return pa.table({
+                "cid": np.arange(kc, dtype=np.int64),
+                "cnt": ct,
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sm.ravel()), d),
+            })
+
+        agg = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+        if tree:
+            agg = (agg.repartition(reduce_blocks)
+                   .map_batches(ivf_combine, batch_format="pyarrow",
+                                batch_size=None)
+                   .repartition(1)
+                   .map_batches(ivf_combine, batch_format="pyarrow",
+                                batch_size=None))
+        parts = ray.get(agg.to_arrow_refs())
         sums = np.zeros((kc, d))
         cnt = np.zeros(kc, dtype=np.int64)
-        for t in parts:
+        for t in parts:  # tree path: exactly one kc-row table
             if t.num_rows == 0:
                 continue
             cid = t.column("cid").to_numpy()

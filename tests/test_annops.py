@@ -238,3 +238,39 @@ def test_ann_query_index_no_matching_lists(ray_session, sf_small, tmp_path):
     d = len(man["centroids"][0])
     out = A.ann_query_index(path, np.ones((2, d)), k=3, nprobe=2)
     assert list(out.columns) == ["qid", "vec_id", "cos"]
+
+
+def test_ivf_build_tree_reduce_matches_driver_fold(ray_session):
+    """The two-wave tree combine (big-input path, tree=True) trains the
+    same quantizer as the bounded driver fold — identical up to fp
+    summation order — and the centroid-quality bar holds on both."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, d = 8, 200, 12
+    centers = A._normalize(rng.standard_normal((n_clusters, d)))
+    pts = np.repeat(centers, per, axis=0) + 0.05 * rng.standard_normal(
+        (n_clusters * per, d))
+    ids = np.arange(len(pts), dtype=np.int64)
+    t = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.astype(np.float32).ravel()), d),
+    })
+    # 10 real input blocks so the tree waves fold across blocks
+    tabs = [t.slice(i, 160) for i in range(0, len(t), 160)]
+
+    def ds():
+        return rd.from_arrow(tabs).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=None)
+
+    cm_driver = A.ivf_build(ds(), n_centroids=n_clusters, iters=4, tree=False)
+    cm_tree = A.ivf_build(ds(), n_centroids=n_clusters, iters=4, tree=True)
+    # same block layout, same partials — only the fold order differs
+    np.testing.assert_allclose(cm_tree, cm_driver, rtol=1e-9, atol=1e-12)
+    best = (A._normalize(cm_tree) @ centers.T).max(axis=1)
+    assert (best > 0.95).all(), f"tree-path centroids off-cluster: {best}"
+    # tree path is deterministic run to run
+    again = A.ivf_build(ds(), n_centroids=n_clusters, iters=4, tree=True)
+    np.testing.assert_array_equal(cm_tree, again)
