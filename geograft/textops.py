@@ -955,16 +955,29 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
     if via == "sig":
         import ray
 
-        # endpoint semi-join: candidates are ids-only and (post direct
-        # exchange) already materialized — when the pair set is small,
-        # broadcast the distinct endpoint ids and compute/ship sigs for
-        # ONLY those docs instead of the whole corpus (measured: 200k
-        # docs shingled+shuffled to verify ~10k pairs). The gate keeps
-        # the driver-held id set bounded; past it, the full exchange
-        # (which never holds ids on the driver) takes over.
-        pairs_ds = pairs_ds.materialize()
+        # endpoint semi-join: candidates are ids-only — when the pair
+        # set is small, broadcast the distinct endpoint ids and
+        # compute/ship sigs for ONLY those docs instead of the whole
+        # corpus (measured: 200k docs shingled+shuffled to verify ~10k
+        # pairs). The gate keeps the driver-held id set bounded; past
+        # it, the full exchange (which never holds ids on the driver)
+        # takes over. Deciding the gate must not itself materialize a
+        # losing (huge) pair stream into the object store: an already-
+        # materialized input (the direct-exchange path) answers from
+        # block metadata for free; a lazy input is probed with
+        # limit(gate+1).count(), which the streaming executor early-
+        # exits, so the losing branch streams straight into the verify
+        # join without ever being held whole.
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(pairs_ds, MaterializedDataset):
+            small = pairs_ds.count() <= SEMIJOIN_MAX_PAIRS
+        else:
+            small = (pairs_ds.limit(SEMIJOIN_MAX_PAIRS + 1).count()
+                     <= SEMIJOIN_MAX_PAIRS)
         docs_src = docs_ds
-        if pairs_ds.count() <= SEMIJOIN_MAX_PAIRS:
+        if small:
+            pairs_ds = pairs_ds.materialize()
             id_blocks = [t.select(["a", "b"]) for t in
                          ray.get(pairs_ds.to_arrow_refs())
                          if t.num_rows > 0 and "a" in t.column_names]

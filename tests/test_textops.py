@@ -491,3 +491,73 @@ def test_lang_id_oracle_matches_engine_on_tricky_texts(ray_session):
     got = con.sql(lang_id_oracle_sql()).df() \
         .sort_values("doc_id").reset_index(drop=True)
     assert list(eng["lang_pred"]) == list(got["lang_pred"])
+
+
+def test_semijoin_gate_streams_losing_branch(ray_session, monkeypatch):
+    """verify_jaccard_pairs must DECIDE the semi-join gate without
+    materializing a losing (over-gate) lazy pair stream: the probe is
+    limit(gate+1).count() (early-exit), so the pair pipeline's rows are
+    processed ~once (downstream verify join) plus a bounded probe — not
+    the 2x a full materialize-then-count would cost — and the result is
+    identical to the semi-join path's."""
+    import ray
+    import ray.data as rd
+
+    # 24 docs, known 3-gram jaccard structure: 3 exact-dup groups
+    texts = []
+    for i in range(24):
+        g = i % 3
+        texts.append(f"the quick brown fox group {g} jumps over the lazy dog")
+    doc_t = pa.table({"doc_id": np.arange(24, dtype=np.int64),
+                      "text": texts})
+    docs = rd.from_arrow(doc_t)
+
+    # all 276 unordered pairs, 20 lazy blocks, with a row-counting
+    # tracer stage so we can observe how often the stream is consumed
+    a, b = np.triu_indices(24, k=1)
+    pair_t = pa.table({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+    n_pairs = pair_t.num_rows
+
+    @ray.remote
+    class Cnt:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    cnt = Cnt.remote()
+
+    def tracer(t: pa.Table) -> pa.Table:
+        ray.get(cnt.add.remote(len(t)))
+        return t
+
+    blocks = [pair_t.slice(i, 14) for i in range(0, n_pairs, 14)]
+    lazy_pairs = rd.from_arrow(blocks).map_batches(
+        tracer, batch_format="pyarrow", batch_size=None)
+
+    monkeypatch.setattr(T, "SEMIJOIN_MAX_PAIRS", 10)  # force losing branch
+    out = T.verify_jaccard_pairs(lazy_pairs, docs, tau=0.9).to_pandas()
+
+    # correctness: exactly the same-group pairs (exact dups, jaccard 1)
+    want = {(x, y) for x, y in zip(a, b) if x % 3 == y % 3}
+    got = set(zip(out["a"], out["b"]))
+    assert got == want
+    np.testing.assert_allclose(out["jaccard"].to_numpy(), 1.0)
+
+    # streaming evidence: one full consumption + an early-exited probe,
+    # far below the 2x of materialize-for-the-gate
+    seen = ray.get(cnt.get.remote())
+    assert seen >= n_pairs
+    assert seen < 2 * n_pairs, (
+        f"losing branch consumed the pair stream twice in full: {seen}")
+
+    # winning branch on an already-materialized stream: gate answers
+    # from block metadata, semi-join result identical
+    monkeypatch.setattr(T, "SEMIJOIN_MAX_PAIRS", 2_000_000)
+    out2 = T.verify_jaccard_pairs(
+        rd.from_arrow(blocks).materialize(), docs, tau=0.9).to_pandas()
+    assert set(zip(out2["a"], out2["b"])) == want
