@@ -1092,11 +1092,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
         ),
-        # neardup_minhash / ann_cosine_topk_lsh / ann_cosine_topk_ivf /
-        # ann_indexed_topk / embedding_neardup / media_features:
-        # probabilistic or binary-decode ops -> no SQL oracle (driver
-        # records rows-only); their exactness/soundness oracles live in
-        # tests/.
+        # ann_cosine_topk_lsh / ann_cosine_topk_ivf / ann_indexed_topk /
+        # embedding_neardup / media_features: probabilistic or
+        # binary-decode ops -> no SQL oracle (driver records rows-only);
+        # their exactness/soundness oracles live in tests/.
+        # neardup_minhash IS exact since round 5: the banding hash is
+        # the SQL-recomputable token hash and the permutation family is
+        # plain (wrap-64) arithmetic, so candidates AND verification
+        # are GENERATED into DuckDB SQL from the engine's own constants.
+        "neardup_minhash": _T.neardup_minhash_oracle_sql(0.8),
         # lang_id IS exact: the stopword heuristic is deterministic and
         # the SQL below is GENERATED from the same tables.
         "lang_id": _T.lang_id_oracle_sql(),

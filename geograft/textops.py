@@ -219,6 +219,99 @@ FROM {table} d LEFT JOIN fp f ON d.{id_col} = f.id
 ORDER BY d.{id_col}"""
 
 
+def neardup_minhash_oracle_sql(tau: float, k: int = 3,
+                               table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB SQL reproducing `neardup_minhash` EXACTLY — candidates
+    AND verification. GENERATED from the engine's own constants
+    (`_perm_params`, N_PERM/N_BANDS/ROWS_PER_BAND, _SHINGLE_BASE,
+    _MERSENNE), so engine and oracle cannot drift:
+
+    token hash (token_hash_sql_ctes) -> uint64-wrap rolling k-gram
+    shingle fold -> 64 minhash perms hv = ((a*sh') wrap64 + b) wrap64
+    mod 2^61-1 over the distinct shingle set (shingle-less docs pin
+    every perm at uint64 max, exactly like the engine's np.full init)
+    -> 16 band keys (uint64-wrap FNV-ish fold over 4 rows) -> candidate
+    pairs sharing any (band, key) -> exact distinct-shingle jaccard
+    >= tau (empty-vs-empty = 1.0, the engine's union-0 contract)."""
+    m64 = _M64
+    mers = int(_MERSENNE)
+    base = int(_SHINGLE_BASE)
+    a, b = _perm_params()
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(N_PERM))
+    umax = (1 << 64) - 1
+    # (sm * pa) mod 2^64 with pa a COLUMN (not a literal): 32-bit-half
+    # split keeps every partial under 2^94 (INT128-safe)
+    wrapmul = ("(((sm % 4294967296) * pa"
+               " + (((sm // 4294967296) * pa) % 4294967296)"
+               f" * 4294967296) % {m64}::HUGEINT)")
+    return f"""WITH t AS (
+  SELECT {id_col} AS did, {tokens_sql(text_col)} AS w FROM {table}
+), toks AS (
+  SELECT did, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos
+  FROM t
+), {token_hash_sql_ctes("toks", "did, pos,")}, hlist AS (
+  SELECT did, list(h::HUGEINT ORDER BY pos) AS hl, count(*) AS n
+  FROM th GROUP BY did
+), widx AS (
+  SELECT did, hl, n,
+         unnest(range(1, greatest(n - {k - 1}, 1) + 1))::BIGINT AS i
+  FROM hlist
+), sh0 AS (
+  SELECT did, list_reduce(
+    CASE WHEN n >= {k} THEN list_slice(hl, i, i + {k - 1}) ELSE hl END,
+    (x, y) -> (((x * {base}::HUGEINT) % {m64}::HUGEINT) + y)
+              % {m64}::HUGEINT) AS sh
+  FROM widx
+), dsh AS (
+  SELECT DISTINCT did, sh FROM sh0
+), perms(p, pa, pb) AS (
+  VALUES {perm_rows}
+), mn AS (
+  SELECT did, p,
+         min((({wrapmul} + pb) % {m64}::HUGEINT) % {mers}::HUGEINT) AS mn
+  FROM (SELECT did, sh % {mers}::HUGEINT AS sm FROM dsh) CROSS JOIN perms
+  GROUP BY did, p
+), allsig AS (
+  SELECT doc.did, pr.p, coalesce(s.mn, {umax}::HUGEINT) AS mn
+  FROM (SELECT {id_col} AS did FROM {table}) doc
+  CROSS JOIN perms pr
+  LEFT JOIN mn s ON s.did = doc.did AND s.p = pr.p
+), band AS (
+  SELECT did, p // {ROWS_PER_BAND} AS band,
+         list_reduce(list(mn ORDER BY p),
+           (x, y) -> (((x * {base}::HUGEINT) % {m64}::HUGEINT) + y)
+                     % {m64}::HUGEINT) AS bh
+  FROM allsig GROUP BY did, p // {ROWS_PER_BAND}
+), cand AS (
+  SELECT DISTINCT x.did AS a, y.did AS b
+  FROM band x JOIN band y
+    ON x.band = y.band AND x.bh = y.bh AND x.did < y.did
+), sz AS (
+  SELECT did, count(*) AS n FROM dsh GROUP BY did
+), inter AS (
+  SELECT c.a, c.b, count(*) AS cnt
+  FROM cand c
+  JOIN dsh da ON da.did = c.a
+  JOIN dsh db ON db.did = c.b AND db.sh = da.sh
+  GROUP BY c.a, c.b
+), scored AS (
+  SELECT c.a, c.b,
+    CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.cnt, 0) > 0
+         THEN CAST(coalesce(i.cnt, 0) AS DOUBLE)
+              / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.cnt, 0))
+         ELSE 1.0 END AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  LEFT JOIN sz sa ON sa.did = c.a
+  LEFT JOIN sz sb ON sb.did = c.b
+)
+SELECT a, b, jaccard FROM scored WHERE jaccard >= {tau} ORDER BY a, b"""
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -630,18 +723,25 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
 _SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime fold of token hashes
 
 
-def _shingle_hashes(txt, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(txt, k: int = 3,
+                    sql_hash: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """(doc_idx, shingle_hash) for DISTINCT k-gram shingles per doc —
     fully vectorized: flat token hashes + a k-slice rolling combine, no
     Python loop over docs or tokens. A shingle's identity is its token
     sequence (hash-combined), so equality matches the joined-string
     definition the SQL oracles use. Docs shorter than k tokens
-    contribute their full token sequence as one shingle."""
+    contribute their full token sequence as one shingle.
+
+    ``sql_hash=True`` swaps the token hash to the SQL-recomputable
+    `_sql_hash` so a DuckDB oracle can reproduce the shingle hash
+    VALUES bit for bit (minhash banding needs the values, not just
+    hash identity); the default keeps the faster xxhash where only
+    set identity matters (exact-jaccard verification)."""
     lens, flat = _flat_tokens(txt)
     n = len(lens)
     if len(flat) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
-    th = _stable_hash(flat)
+    th = _sql_hash(flat) if sql_hash else _stable_hash(flat)
     starts = np.cumsum(lens) - lens
     doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), lens)
     off = np.arange(len(th), dtype=np.int64) - starts[doc_of_tok]
@@ -684,11 +784,15 @@ def _perm_params(n_perm: int = N_PERM, seed: int = 7) -> tuple[np.ndarray, np.nd
 
 
 def minhash_signatures(batch: pa.Table, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 3) -> pa.Table:
+                       id_col: str = "doc_id", k: int = 3,
+                       sql_hash: bool = True) -> pa.Table:
     """(doc_id, band, band_hash) rows: 64 minhash perms folded into 16
-    band keys. One output row per (doc, band) — the LSH bucket keys."""
+    band keys. One output row per (doc, band) — the LSH bucket keys.
+    Default token hash is the SQL-recomputable one so
+    `neardup_minhash_oracle_sql` reproduces the band keys exactly."""
     ids = batch.column(id_col)
-    doc_idx, sh = _shingle_hashes(batch.column(text_col), k)
+    doc_idx, sh = _shingle_hashes(batch.column(text_col), k,
+                                  sql_hash=sql_hash)
     n = len(batch)
     a, b = _perm_params()
     sig = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)

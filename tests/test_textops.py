@@ -561,3 +561,43 @@ def test_semijoin_gate_streams_losing_branch(ray_session, monkeypatch):
     out2 = T.verify_jaccard_pairs(
         rd.from_arrow(blocks).materialize(), docs, tau=0.9).to_pandas()
     assert set(zip(out2["a"], out2["b"])) == want
+
+
+def test_neardup_minhash_oracle_sql_exact(ray_session):
+    """The generated DuckDB oracle reproduces neardup_minhash EXACTLY —
+    candidate generation (SQL-recomputable token hash + wrap-64 perm
+    family + band fold) and verification (distinct-shingle jaccard,
+    empty-vs-empty = 1.0) — on a fixture with unicode tokens, odd
+    whitespace, short (<k) docs, exact dups, and shingle-less docs."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{i}" for i in range(25)] + ["café", "日本語"]
+    texts = []
+    for i in range(60):
+        base = list(rng.choice(vocab, rng.integers(1, 15)))
+        texts.append(" ".join(base))
+        if i % 4 == 0:
+            mod = base.copy()
+            if len(mod) > 2:
+                mod[1] = "ZZ"
+            texts.append(" ".join(mod))
+    texts += ["", " \t ", "a b", "a b", "q"]
+    t = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "text": texts})
+    for tau in (0.3, 0.8):
+        eng = (T.neardup_minhash(rd.from_arrow(t), tau=tau).to_pandas()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        ora = (con.sql(T.neardup_minhash_oracle_sql(tau)).df()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            eng[["a", "b", "jaccard"]].astype({"a": "int64", "b": "int64"}),
+            ora.astype({"a": "int64", "b": "int64"}), check_exact=True)
+        # the empty-token docs pair at jaccard 1.0 (union-0 contract)
+        if tau <= 0.9:
+            empties = {(len(texts) - 5, len(texts) - 4),
+                       (len(texts) - 3, len(texts) - 2)}
+            assert empties <= set(zip(eng["a"], eng["b"]))
