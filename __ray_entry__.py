@@ -576,6 +576,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = A.ann_query_index(path, qv, k=10, nprobe=6)
         return out[["vec_id"]]
 
+    def ann_indexed_topk_exact(sf):
+        # the persisted-index READ path at nprobe = n_centroids: probes
+        # every list, so the result is EXACTLY brute-force cosine_topk
+        # — which gives the pruned-read machinery (manifest quantizer,
+        # per-list parquet reads, distributed top-k finish) a full
+        # hash-match oracle row instead of rows-only
+        import hashlib
+        import pyarrow.parquet as pq
+
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        path = f"/tmp/geograft_ann_idx_{tag}"
+        emb = read_parquet_sized(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+        man = A.build_ann_index(emb, path, n_centroids=16, iters=3)
+        q = pq.read_table(
+            f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
+        )
+        qv = A._emb_matrix(q)
+        out = A.ann_query_index(path, qv, k=10,
+                                nprobe=len(man["centroids"]))
+        return out[["vec_id"]]
+
     def ann_cosine_topk_ivf(sf):
         # IVF scale path: spherical-k-means coarse quantizer (k-means||
         # style two-level maxmin init + per-block partial-sum iterations),
@@ -805,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
         "ann_indexed_topk": ann_indexed_topk,
+        "ann_indexed_topk_exact": ann_indexed_topk_exact,
         # -- tail: driver-green r02 AND r03, code untouched this round ------
         "locate_in_box_3d": locate_in_box_3d,
         "locate_in_box_int": locate_in_box_int,
@@ -1172,6 +1195,13 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate <= e2.ts GROUP BY 1) m ON m.eid = e.event_id"
         ),
         "ann_cosine_topk": (
+            "SELECT vec_id FROM embeddings ORDER BY "
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "
+            "vec_id LIMIT 10"
+        ),
+        # persisted-index read path at nprobe=all == exact brute force
+        "ann_indexed_topk_exact": (
             "SELECT vec_id FROM embeddings ORDER BY "
             "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "

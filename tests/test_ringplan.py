@@ -227,3 +227,34 @@ def test_rings_vs_matrix_out_of_grid_queries(ray_session, dense_index):
     a = state.knn_on_index(path, q, k=7, planner="matrix")
     b = state.knn_on_index(path, q, k=7, planner="rings")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_knn_on_index_nd_auto_routes_rings_at_4096_cells(ray_session, tmp_path):
+    """3-d index with >= ANALYTIC_MIN_PARTS live cells: planner='auto'
+    provably takes the analytic ring path (the threshold is on live
+    partition count) and stays bit-identical to the forced matrix —
+    the n-d twin of the 2-d cross-planner pin, at the scale where the
+    dense (query x partition) matrix starts to hurt."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    n = 70_000
+    pts = {c: rng.uniform(0, 64, n) for c in ("x", "y", "z")}
+    ds = rd.from_arrow(pa.table({"id": np.arange(n, dtype=np.int64), **pts}))
+    path = str(tmp_path / "idx3d_4096")
+    pipeline.build_partitioned_index_nd(
+        ds, path, axes=["x", "y", "z"], base_level=4,
+        bounds=G.BoundsND([0, 0, 0], [64, 64, 64]), target_rows=2000)
+    man = pipeline.load_manifest(path)
+    assert len(man["partitions"]) >= state.ANALYTIC_MIN_PARTS, (
+        "fixture must trip the auto->rings threshold")
+    nq = 50
+    q = pa.table({"qid": np.arange(nq),
+                  "x": rng.uniform(-5, 70, nq),   # incl. out-of-grid
+                  "y": rng.uniform(-5, 70, nq),
+                  "z": rng.uniform(-5, 70, nq)})
+    a = state.knn_on_index_nd(path, q, k=5, planner="matrix")
+    b = state.knn_on_index_nd(path, q, k=5, planner="auto")
+    c = state.knn_on_index_nd(path, q, k=5, planner="rings")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert a.reset_index(drop=True).equals(c.reset_index(drop=True))
