@@ -533,8 +533,64 @@ def run_scaling() -> dict:
     }
 
 
+def run_textlap() -> dict:
+    """2 M-doc text-family lap: dedup_exact / neardup_minhash /
+    jaccard_pairs over documents x GRAFT_TEXTLAP_DOC_MULT (default 400
+    -> 2 M docs from sf0.1's 5k) in a fresh process at NUM_CPUS — the
+    evidence that the dedup family survives a 10x corpus jump past the
+    200k-doc suite input (candidate volume grows superlinearly with
+    vocabulary density: measure, don't extrapolate). Also reports the
+    bucket count the coarse exchanges choose at this size and which
+    exchange (direct vs sort) the size gate picks."""
+    doc_mult = int(os.environ.get("GRAFT_TEXTLAP_DOC_MULT", "400"))
+    lap_dir = ensure_scaled_input(SF_DIR, 1, doc_mult=doc_mult, emb_mult=1)
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS), GRAFT_SF_DIR=lap_dir,
+               GRAFT_BENCH_REPS="1", GRAFT_BENCH_CONCURRENT="0",
+               GRAFT_BENCH_ONLY="dedup_exact,neardup_minhash,jaccard_pairs",
+               GRAFT_BENCH_WARMUP="0")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    r = json.loads(out.strip().splitlines()[-1])
+    # the knob values those pipelines' exchanges actually derive at
+    # this input size (plan-metadata only, nothing executes)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False)
+    from geograft.io import read_parquet_sized
+    from geograft.ops import DIRECT_EXCHANGE_MAX_BYTES
+    from geograft.scale import input_bytes_estimate, shuffle_buckets
+
+    docs = read_parquet_sized(f"{lap_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    est = input_bytes_estimate(docs)
+    nb = shuffle_buckets(docs)
+    ray.shutdown()
+    import pyarrow.dataset as pads
+
+    return {
+        "metric": "text-family lap (dedup/minhash/jaccard)",
+        "docs": pads.dataset(f"{lap_dir}/documents.parquet").count_rows(),
+        "doc_mult": doc_mult,
+        "queries": r["queries"],
+        "value": round(sum(r["queries"].values()), 3),
+        "unit": "sec",
+        "shuffle_buckets": nb,
+        "docs_inmem_bytes_est": est,
+        "exchange": ("direct" if est is not None
+                     and est <= DIRECT_EXCHANGE_MAX_BYTES else "sort"),
+        "num_cpus": NUM_CPUS,
+        "input": lap_dir,
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--textlap" in sys.argv:
+        print(json.dumps(run_textlap()))
     else:
         print(json.dumps(run_bench()))

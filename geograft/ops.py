@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -92,8 +93,6 @@ def _split_by_bucket(tbl: pa.Table, nb: int, key_col: str):
 
 def _gather_bucket(fn, *parts):
     """Ray task: concat one bucket's splits, run the group fn."""
-    import pandas as pd
-
     tabs = [p for p in parts if p.num_rows > 0]
     t = pa.concat_tables(tabs) if tabs else parts[0]
     out = fn(t)
@@ -484,7 +483,6 @@ def locate_at_point(ds, x, y, id_col: str = "id"):
     by nature — rows containing a single point) is collected once and
     the min-id row selected driver-side. A second map_batches over the
     un-materialized `matches` dataset would RE-EXECUTE the full scan."""
-    import pandas as pd
     import ray
 
     matches = locate_all_at_point(ds, x, y)
@@ -683,7 +681,6 @@ def remove_with_selection_function(ds, sel_rows, id_col: str = "id"):
     (one tiny row per block merged on the driver), then a broadcast
     anti-filter.
     """
-    import pandas as pd
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -912,7 +909,6 @@ def knn(ds, queries: pa.Table, k: int, id_col: str = "id",
     shuffle-free tree-reduce (repartition + combine) collapses the
     candidate stream before a small vectorized merge on the driver.
     """
-    import pandas as pd
     import ray
 
     qref = ray.put(
@@ -994,7 +990,6 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
     memory is then bounded by the visited rings, not the cell count;
     'matrix'/'rings' force a side.
     """
-    import pandas as pd
     import ray
 
     if directory is None:
@@ -1185,7 +1180,6 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
                          "dist2": np.concatenate(out_d)})
 
     cand = coarse_group_by_cell(both, local_knn_bucket)
-    import pandas as pd
 
     blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
     if not blocks:
@@ -1398,7 +1392,6 @@ def knn_nd(ds, queries: pa.Table, k: int, axes: list[str],
     """Brute-force exact kNN in d dims (point rows; same broadcast +
     per-block top-k + tree-reduce shape as the 2-d knn, same
     deterministic (dist2, id) tie contract)."""
-    import pandas as pd
     import ray
 
     qxy = np.stack([queries.column(c).to_numpy().astype(np.float64) for c in axes], axis=1)

@@ -1065,23 +1065,25 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
         # corpus (measured: 200k docs shingled+shuffled to verify ~10k
         # pairs). The gate keeps the driver-held id set bounded; past
         # it, the full exchange (which never holds ids on the driver)
-        # takes over. Deciding the gate must not itself materialize a
-        # losing (huge) pair stream into the object store: an already-
-        # materialized input (the direct-exchange path) answers from
-        # block metadata for free; a lazy input is probed with
-        # limit(gate+1).count(), which the streaming executor early-
-        # exits, so the losing branch streams straight into the verify
-        # join without ever being held whole.
+        # takes over. Deciding the gate must not re-execute the pair
+        # pipeline: an already-materialized input (the direct-exchange
+        # path) answers from block metadata for free; a LAZY input
+        # (the sort-exchange fallback) is materialized ONCE and then
+        # metadata-counted — BOTH branches consume the stream right
+        # after, so this single execution is the floor, whereas a
+        # limit(gate+1).count() probe re-runs the upstream sort
+        # shuffle a second time for whichever branch wins (measured
+        # +85 s on the 2 M-doc jaccard lap: the probe's cost is the
+        # INPUT shuffle, not the probed row count). The losing branch
+        # holds only ids-only pair rows (~24 B each) for the moment
+        # before the verify join drains them.
         from ray.data.dataset import MaterializedDataset
 
-        if isinstance(pairs_ds, MaterializedDataset):
-            small = pairs_ds.count() <= SEMIJOIN_MAX_PAIRS
-        else:
-            small = (pairs_ds.limit(SEMIJOIN_MAX_PAIRS + 1).count()
-                     <= SEMIJOIN_MAX_PAIRS)
+        if not isinstance(pairs_ds, MaterializedDataset):
+            pairs_ds = pairs_ds.materialize()
+        small = pairs_ds.count() <= SEMIJOIN_MAX_PAIRS
         docs_src = docs_ds
         if small:
-            pairs_ds = pairs_ds.materialize()
             id_blocks = [t.select(["a", "b"]) for t in
                          ray.get(pairs_ds.to_arrow_refs())
                          if t.num_rows > 0 and "a" in t.column_names]

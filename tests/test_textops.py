@@ -494,12 +494,13 @@ def test_lang_id_oracle_matches_engine_on_tricky_texts(ray_session):
 
 
 def test_semijoin_gate_streams_losing_branch(ray_session, monkeypatch):
-    """verify_jaccard_pairs must DECIDE the semi-join gate without
-    materializing a losing (over-gate) lazy pair stream: the probe is
-    limit(gate+1).count() (early-exit), so the pair pipeline's rows are
-    processed ~once (downstream verify join) plus a bounded probe — not
-    the 2x a full materialize-then-count would cost — and the result is
-    identical to the semi-join path's."""
+    """verify_jaccard_pairs must DECIDE the semi-join gate with at most
+    ONE execution of the pair pipeline: a lazy input is materialized
+    once and metadata-counted (a limit-probe would re-run the upstream
+    shuffle for whichever branch wins — measured +85 s at 2 M docs), an
+    already-materialized input is counted for free. The tracer pins
+    single consumption on the losing branch, with output identical to
+    the semi-join path's."""
     import ray
     import ray.data as rd
 
