@@ -16,6 +16,14 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _arrow_refs(ds):
+    """Single-execution block refs (ops.arrow_refs; import deferred
+    to keep this module import-light)."""
+    from .ops import arrow_refs
+
+    return arrow_refs(ds)
+
+
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     """(n, d) float64 from a list<float> column — zero-copy flatten."""
     arr = batch.column(col)
@@ -75,7 +83,7 @@ def _cos_topk_finish(cand, k: int, id_col: str, reduce_blocks: int = 8):
         cand = cand.repartition(reduce_blocks).map_batches(
             _cos_reduce, fn_args=(k, id_col), batch_format="pyarrow",
             batch_size=None)
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(_arrow_refs(cand)) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
                              id_col: pd.Series([], dtype=np.int64),
@@ -401,7 +409,7 @@ def ivf_build(ds, n_centroids: int = 64, iters: int = 4,
     if tree:
         reps_ds = reps_ds.repartition(reduce_blocks).map_batches(
             rep_combine, batch_format="pyarrow", batch_size=None)
-    rep_blocks = [t for t in ray.get(reps_ds.to_arrow_refs())
+    rep_blocks = [t for t in ray.get(_arrow_refs(reps_ds))
                   if t.num_rows > 0]
     s = np.concatenate([_emb_matrix(t, "rep") for t in rep_blocks])
     c = _maxmin(s, n_centroids)
@@ -462,7 +470,7 @@ def ivf_build(ds, n_centroids: int = 64, iters: int = 4,
                    .repartition(1)
                    .map_batches(ivf_combine, batch_format="pyarrow",
                                 batch_size=None))
-        parts = ray.get(agg.to_arrow_refs())
+        parts = ray.get(_arrow_refs(agg))
         sums = np.zeros((kc, d))
         cnt = np.zeros(kc, dtype=np.int64)
         for t in parts:  # tree path: exactly one kc-row table

@@ -67,6 +67,22 @@ _SPLIT_RT = None
 _GATHER_RT = None
 
 
+def arrow_refs(ds):
+    """Block refs of a Dataset with exactly ONE execution. Ray 2.49's
+    ``Dataset.to_arrow_refs()`` on a LAZY dataset runs the pipeline and
+    then RE-EXECUTES the whole upstream chain under ``limit(1)`` for an
+    uncached schema probe — measured ~2 s of pure re-read per exchange
+    on an 18 M-row parse chain (and worse at low parallelism, where it
+    eats straight into scaling efficiency). Materializing first answers
+    the probe from block metadata, so every gather/exchange entry point
+    routes through here instead of calling ``to_arrow_refs`` directly."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(ds, MaterializedDataset):
+        ds = ds.materialize()
+    return ds.to_arrow_refs()
+
+
 def _split_by_bucket(tbl: pa.Table, nb: int, key_col: str):
     """Ray task: one input block -> nb per-bucket slices (schema kept,
     __cg appended) + an int64 count-per-bucket array as the LAST return
@@ -134,7 +150,7 @@ def coarse_group_by_cell(ds, fn, key_col: str = "cell_id",
     if exchange == "direct" and n_buckets > 1:
         import ray.data as rd
 
-        refs = ds.to_arrow_refs()
+        refs = arrow_refs(ds)
         if refs and len(refs) <= _DIRECT_MAX_BLOCKS:
             global _SPLIT_RT, _GATHER_RT
             if _SPLIT_RT is None:
@@ -486,7 +502,7 @@ def locate_at_point(ds, x, y, id_col: str = "id"):
     import ray
 
     matches = locate_all_at_point(ds, x, y)
-    blocks = [t for t in ray.get(matches.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(arrow_refs(matches)) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
     tbl = pa.concat_tables(blocks)
@@ -629,7 +645,7 @@ def drain_limit(ds, keep_rows, n: int, id_col: str = "id"):
         return pa.table({id_col: np.sort(ids)})
 
     cand = ds.map_batches(partial_ids, batch_format="pyarrow", batch_size=None)
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(arrow_refs(cand)) if t.num_rows > 0]
     if blocks:
         all_ids = np.concatenate([t.column(id_col).to_numpy() for t in blocks])
         victims = np.sort(all_ids)[:n]
@@ -689,7 +705,7 @@ def remove_with_selection_function(ds, sel_rows, id_col: str = "id"):
         return pa.table({id_col: ids.min(keepdims=True) if len(ids) else ids[:0]})
 
     cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(arrow_refs(cand)) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame(), ds
     victim = min(int(t.column(id_col)[0].as_py()) for t in blocks)
@@ -928,7 +944,7 @@ def knn(ds, queries: pa.Table, k: int, id_col: str = "id",
     cand = cand.repartition(reduce_blocks).map_batches(
         _knn_reduce, fn_args=(k, id_col), batch_format="pyarrow", batch_size=None
     )
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(arrow_refs(cand)) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
     tbl = pa.concat_tables(blocks)
@@ -1181,7 +1197,7 @@ def indexed_knn(ds, queries: pa.Table, k: int, level: int, bounds: G.Bounds,
 
     cand = coarse_group_by_cell(both, local_knn_bucket)
 
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(arrow_refs(cand)) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
     tbl = pa.concat_tables(blocks, promote_options="default")
@@ -1428,7 +1444,7 @@ def knn_nd(ds, queries: pa.Table, k: int, axes: list[str],
     cand = cand.repartition(reduce_blocks).map_batches(
         _knn_reduce, fn_args=(k, id_col), batch_format="pyarrow", batch_size=None
     )
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(arrow_refs(cand)) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({"qid": [], id_col: [], "dist2": []})
     tbl = pa.concat_tables(blocks)

@@ -788,9 +788,9 @@ def tombstone_index(path: str, sel_rows, prune_partition=None,
                 ids, cells = ids[sel], cells[sel]
             return pa.table({"cell_id": cells, id_col: ids})
 
-        blocks = [t for t in ray.get(
+        blocks = [t for t in ray.get(ops.arrow_refs(
             cand.map_batches(partial, batch_format="pyarrow",
-                             batch_size=None).to_arrow_refs())
+                             batch_size=None)))
             if t.num_rows > 0]
         if not blocks:
             return man

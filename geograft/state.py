@@ -26,6 +26,14 @@ from .pipeline import _del_name, live_rows, load_manifest
 from .ptree import PTree
 
 
+def _arrow_refs(ds):
+    """Single-execution block refs (ops.arrow_refs; import deferred
+    to keep this module import-light)."""
+    from .ops import arrow_refs
+
+    return arrow_refs(ds)
+
+
 def _manifest_arrays(man: dict, with_counts: bool = False):
     """(cell_ids, lower, upper[, counts]) of the non-empty partitions —
     the planner's pruning arrays, built once per query batch. Counts are
@@ -550,7 +558,7 @@ def knn_on_index(index_path: str, queries: pa.Table, k: int,
         cand = ds.map_batches(
             lambda b, r=rref: _cell_knn_2d(b, ray.get(r), k),
             batch_format="pyarrow", batch_size=None)
-        return [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+        return [t for t in ray.get(_arrow_refs(cand)) if t.num_rows > 0]
 
     import pandas as pd
 
@@ -682,7 +690,7 @@ def knn_index_batch(index_path: str, queries: pa.Table, k: int,
     )
     from .ops import _topk_per_qid
 
-    blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+    blocks = [t for t in ray.get(_arrow_refs(cand)) if t.num_rows > 0]
     if not blocks:
         return pd.DataFrame({"qid": [], "id": [], "dist2": []})
     tbl = pa.concat_tables(blocks)
@@ -834,7 +842,7 @@ def knn_on_index_nd(index_path: str, queries: pa.Table, k: int,
         cand = ds.map_batches(
             lambda b, r=rref: _cell_knn_nd(b, ray.get(r), k, axes, id_col),
             batch_format="pyarrow", batch_size=None)
-        return [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows > 0]
+        return [t for t in ray.get(_arrow_refs(cand)) if t.num_rows > 0]
 
     # seed + refine, same two-pass protocol as the 2-d knn_on_index
     # (both planners are dimension-generic over qc's axes)

@@ -1059,6 +1059,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
     if via == "sig":
         import ray
 
+        from . import ops as _ops
+
         # endpoint semi-join: candidates are ids-only — when the pair
         # set is small, broadcast the distinct endpoint ids and
         # compute/ship sigs for ONLY those docs instead of the whole
@@ -1085,7 +1087,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, tau: float, k: int = 3,
         docs_src = docs_ds
         if small:
             id_blocks = [t.select(["a", "b"]) for t in
-                         ray.get(pairs_ds.to_arrow_refs())
+                         ray.get(_ops.arrow_refs(pairs_ds))
                          if t.num_rows > 0 and "a" in t.column_names]
             if id_blocks:
                 cat = pa.concat_tables(id_blocks)
