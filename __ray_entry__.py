@@ -619,11 +619,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so use a threshold that actually surfaces the closest pairs;
         # sign-LSH collision probability at cos 0.45 is only ~0.65 per
         # bit, so recall needs FEW planes x MANY bands at this threshold
-        # (production near-dup at cos>=0.95 uses the wider default)
+        # (production near-dup at cos>=0.95 uses the wider default).
+        # ids only: the exact-cosine float column is dropped so the
+        # generated-SQL oracle compares pair SETS, not last-ulp floats
         return A.embedding_neardup(
             read_parquet_sized(f"{sf}/embeddings.parquet"), threshold=0.45,
             n_planes=4, n_bands=16,
-        )
+        ).select_columns(["a", "b"])
 
     def media_features(sf):
         # full multimodal path: docs -> media spans -> payload synth ->
@@ -875,6 +877,7 @@ def _rotate_lru(qdict: dict) -> dict:
 
 
 def oracle_sql() -> dict[str, str]:
+    from geograft import annops as _A
     from geograft import fixtures as FX
     from geograft import textops as _T
 
@@ -1116,9 +1119,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
         ),
         # ann_cosine_topk_lsh / ann_cosine_topk_ivf / ann_indexed_topk /
-        # embedding_neardup / media_features: probabilistic or
-        # binary-decode ops -> no SQL oracle (driver records rows-only);
-        # their exactness/soundness oracles live in tests/.
+        # media_features: probabilistic or binary-decode ops -> no SQL
+        # oracle (driver records rows-only); their exactness/soundness
+        # oracles live in tests/.
+        # embedding_neardup IS exact since round 5: the sign-LSH
+        # hyperplanes are deterministic doubles embedded as SQL
+        # literals, so candidates AND cosine verification are GENERATED
+        # into DuckDB SQL from the engine's own constants.
+        "embedding_neardup": _A.embedding_neardup_oracle_sql(
+            threshold=0.45, n_planes=4, n_bands=16
+        ),
         # neardup_minhash IS exact since round 5: the banding hash is
         # the SQL-recomputable token hash and the permutation family is
         # plain (wrap-64) arithmetic, so candidates AND verification

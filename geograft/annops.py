@@ -331,6 +331,53 @@ def embedding_neardup(ds, threshold: float = 0.95,
     return with_b.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def embedding_neardup_oracle_sql(threshold: float = 0.45, n_planes: int = 4,
+                                 n_bands: int = 16, seed: int = 11,
+                                 d: int = 64, table: str = "embeddings",
+                                 id_col: str = "vec_id",
+                                 emb_col: str = "embedding") -> str:
+    """Exact DuckDB SQL for ``embedding_neardup`` — the sign-LSH
+    candidate generation AND the cosine verification are both
+    recomputed in SQL, so the oracle reproduces the approximate
+    operator bit-for-bit (same pattern as
+    ``textops.neardup_minhash_oracle_sql``).
+
+    The per-band hyperplanes are deterministic (``_hyperplanes`` with
+    seed+band) and small (n_bands x n_planes x d doubles), so they are
+    embedded as DOUBLE[] literals at full precision; the sign bit
+    ``dot > 0`` is scale-invariant, so SQL can test the UNnormalized
+    embedding against each plane while the Ray kernel tests the
+    normalized one. ``d`` must match the table's embedding width (the
+    synthetic fixtures are d=64 at every scale factor).
+    """
+    band_selects = []
+    for band in range(n_bands):
+        planes = _hyperplanes(d, n_planes, seed=seed + band)
+        bits = []
+        for j in range(n_planes):
+            lit = "[" + ",".join("%.17g" % x for x in planes[j]) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(e, {lit}) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT {id_col} AS vid, {band} AS band, ("
+            + " + ".join(bits) + ") AS sig FROM v"
+        )
+    sigs = " UNION ALL ".join(band_selects)
+    return f"""
+WITH v AS (SELECT {id_col}, CAST({emb_col} AS DOUBLE[]) AS e FROM {table}),
+sigs AS ({sigs}),
+cand AS (SELECT DISTINCT s1.vid AS a, s2.vid AS b
+  FROM sigs s1 JOIN sigs s2
+  ON s1.band = s2.band AND s1.sig = s2.sig AND s1.vid < s2.vid)
+SELECT c.a, c.b FROM cand c
+JOIN v va ON va.{id_col} = c.a
+JOIN v vb ON vb.{id_col} = c.b
+WHERE list_cosine_similarity(va.e, vb.e) >= {threshold!r}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF: k-means coarse quantizer (train / assign / probe)
 # ---------------------------------------------------------------------------

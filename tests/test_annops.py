@@ -274,3 +274,25 @@ def test_ivf_build_tree_reduce_matches_driver_fold(ray_session):
     # tree path is deterministic run to run
     again = A.ivf_build(ds(), n_centroids=n_clusters, iters=4, tree=True)
     np.testing.assert_array_equal(cm_tree, again)
+
+
+def test_embedding_neardup_oracle_sql_matches(ray_session, sf_small):
+    """The generated DuckDB SQL reproduces the sign-LSH candidates AND
+    the cosine verification bit-for-bit (same promotion pattern as the
+    minhash oracle): pair SETS must be identical, not just recall."""
+    import duckdb
+
+    got = A.embedding_neardup(
+        emb_ds(sf_small), threshold=0.45, n_planes=4, n_bands=16
+    ).to_pandas()
+    ray_pairs = set(zip(got.a, got.b))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    sql = A.embedding_neardup_oracle_sql(threshold=0.45, n_planes=4,
+                                         n_bands=16)
+    sql_pairs = set(map(tuple, con.sql(sql).fetchall()))
+    assert ray_pairs == sql_pairs
+    assert len(ray_pairs) > 0
