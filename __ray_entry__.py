@@ -869,7 +869,12 @@ def _rotate_lru(qdict: dict) -> dict:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in rows:
+        for name, row in rows.items():
+            # a rows-only record (err == "no_oracle") is NOT a full
+            # check: a query later promoted to an exact SQL oracle
+            # must rotate back to the front of the driver window
+            if isinstance(row, dict) and row.get("err") is not None:
+                continue
             last[name] = max(last.get(name, 0), rnd)
     names = list(qdict)
     order = sorted(range(len(names)), key=lambda i: (last.get(names[i], 0), i))
