@@ -483,6 +483,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bpe_token_stats(sf):
         return T.bpe_token_stats(_docs(sf))
 
+    def dup_spans(sf):
+        # substring-level dedup signal (Lee et al. 2021 shape): doc
+        # pairs sharing an 8-token contiguous span; df_cap=64 is part
+        # of the exact semantics (same HAVING in the oracle)
+        return T.dup_spans(_docs(sf), k=8, df_cap=64)
+
+    def repetition_stats(sf):
+        # Gopher-rule repetition metrics (Rae et al. 2021): integer
+        # window counts + ONE IEEE division, so the float column
+        # compares bit-for-bit against DuckDB
+        return T.repetition_stats(_docs(sf))
+
     def dedup_exact_checkpointed(sf):
         # resumable partitioned-output variant: survivors land one
         # parquet file per content-hash bucket + manifest; a rerun
@@ -845,6 +857,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_geometry_join": tile_geometry_join,
         "extract_geo_spans": extract_geo_spans,
         "bpe_token_stats": bpe_token_stats,
+        # -- round 5 additions --------------------------------------------
+        "dup_spans": dup_spans,
+        "repetition_stats": repetition_stats,
     })
 
 
@@ -1134,6 +1149,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _A.embedding_neardup_oracle_sql(
             threshold=0.45, n_planes=4, n_bands=16
         ),
+        # dup_spans / repetition_stats (round 5): exact generated SQL —
+        # span identity is the joined token string, the df_cap HAVING
+        # and the single top-2-gram division are reproduced verbatim
+        "dup_spans": _T.dup_spans_oracle_sql(k=8, df_cap=64),
+        "repetition_stats": _T.repetition_stats_oracle_sql(),
         # neardup_minhash IS exact since round 5: the banding hash is
         # the SQL-recomputable token hash and the permutation family is
         # plain (wrap-64) arithmetic, so candidates AND verification

@@ -1624,3 +1624,223 @@ def checkpointed_dedup_exact(ds, out_dir: str, text_col: str = "text",
         json.dump(man, f, indent=1)
     os.replace(tmp, man_path)
     return man
+
+
+def dup_spans(ds, k: int = 8, df_cap: int | None = 64,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Duplicate k-token span detection — all (a, b) doc pairs sharing
+    at least one contiguous k-token span, with the count of DISTINCT
+    shared spans. The substring-level dedup signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better") at a
+    fixed window: exact-substring dedup is approximated by k-gram
+    identity, which is the standard scalable shape.
+
+    Same two-exchange plan as ``jaccard_pairs_exact`` (shingle-hash
+    exchange -> per-bucket upper-triangle pair enumeration -> pair-hash
+    exchange -> per-pair sum), minus the similarity algebra: the span
+    count itself is the output.
+
+    ``df_cap`` drops spans shared by more than df_cap documents BEFORE
+    the quadratic per-span pair enumeration — at corpus scale a span in
+    thousands of docs is boilerplate, and reporting its O(df^2) pairs
+    is both useless and the one unbounded-skew hazard of the plan. The
+    cap is part of the operator's exact semantics (the SQL oracle
+    applies the same HAVING), not a lossy heuristic.
+    """
+    from . import ops as _ops
+    from .scale import shuffle_buckets
+
+    nb = shuffle_buckets(ds)
+
+    def spans(b: pa.Table) -> pa.Table:
+        doc_idx, sh = _shingle_hashes(b.column(text_col), k)
+        ids = b.column(id_col).take(pa.array(doc_idx))
+        return pa.table({id_col: ids, "sh": sh.astype(np.int64)})
+
+    sh_ds = ds.map_batches(spans, batch_format="pyarrow", batch_size=None)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64()),
+                 "__pb": pa.array([], type=pa.int64())}
+        if g.num_rows == 0 or "sh" not in g.column_names:
+            return pa.table(empty)
+        ids = g.column(id_col).to_numpy()
+        sh = g.column("sh").to_numpy()
+        order = np.lexsort((ids, sh))
+        sh_s, ids_s = sh[order], ids[order]
+        n = len(sh_s)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = sh_s[1:] != sh_s[:-1]
+        starts = np.nonzero(boundary)[0]
+        lens = np.diff(np.append(starts, n))
+        f = np.repeat(lens, lens)
+        within = np.arange(n) - np.repeat(starts, lens)
+        keepable = f <= df_cap if df_cap is not None else np.ones(n, bool)
+        reps = np.where(keepable, f - 1 - within, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table(empty)
+        ai = np.repeat(np.arange(n), reps)
+        block_start = np.cumsum(reps) - reps
+        bi = ai + 1 + (np.arange(total) - block_start[ai])
+        a_v, b_v = ids_s[ai], ids_s[bi]
+        # per-doc shingles are DISTINCT, so every (a, b) row here is a
+        # distinct shared span; combine duplicates within the bucket
+        po = np.lexsort((b_v, a_v))
+        a_v, b_v = a_v[po], b_v[po]
+        pb = np.empty(len(a_v), dtype=bool)
+        pb[0] = True
+        pb[1:] = (a_v[1:] != a_v[:-1]) | (b_v[1:] != b_v[:-1])
+        seg = np.nonzero(pb)[0]
+        c = np.diff(np.append(seg, len(a_v))).astype(np.int64)
+        a_o, b_o = a_v[seg], b_v[seg]
+        return pa.table({"a": a_o, "b": b_o, "c": c,
+                         "__pb": _pair_bucket(a_o, b_o, nb)})
+
+    partial = _ops.coarse_group_by_cell(sh_ds, bucket_pairs, key_col="sh",
+                                        n_buckets=nb)
+
+    def sum_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "a" not in g.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "n_shared": pa.array([], type=pa.int64())})
+        a_r = g.column("a").to_numpy()
+        b_r = g.column("b").to_numpy()
+        c_r = g.column("c").to_numpy()
+        po = np.lexsort((b_r, a_r))
+        a_r, b_r, c_r = a_r[po], b_r[po], c_r[po]
+        nb_mask = np.empty(len(a_r), dtype=bool)
+        nb_mask[0] = True
+        nb_mask[1:] = (a_r[1:] != a_r[:-1]) | (b_r[1:] != b_r[:-1])
+        seg = np.nonzero(nb_mask)[0]
+        return pa.table({"a": a_r[seg].astype(np.int64),
+                         "b": b_r[seg].astype(np.int64),
+                         "n_shared": np.add.reduceat(c_r, seg).astype(np.int64)})
+
+    return _ops.coarse_group_by_cell(partial, sum_pairs, key_col="__pb",
+                                     n_buckets=nb)
+
+
+def dup_spans_oracle_sql(k: int = 8, df_cap: int | None = 64,
+                         table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """Exact DuckDB SQL for ``dup_spans``: k-gram spans as joined token
+    strings (shingle-hash identity == token-sequence identity), the
+    SAME df_cap HAVING, pair counts by self-join. Docs shorter than k
+    tokens contribute their whole token sequence as one span — the
+    ``_shingle_hashes`` short-doc rule, reproduced in the first CTE."""
+    cap = "" if df_cap is None else f" HAVING count(*) <= {df_cap}"
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k)).replace(
+        "w[i+0]", "w[i]")
+    return f"""
+WITH t AS (SELECT {id_col}, list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS w FROM {table}),
+g AS (
+  SELECT {id_col}, {gram} AS sh
+  FROM t, unnest(generate_series(1, len(w) - {k - 1})) AS u(i)
+  WHERE len(w) >= {k}
+  UNION ALL
+  SELECT {id_col}, array_to_string(w, ' ') AS sh FROM t
+  WHERE len(w) > 0 AND len(w) < {k}
+),
+d AS (SELECT DISTINCT {id_col}, sh FROM g),
+ok AS (SELECT sh FROM d GROUP BY sh{cap})
+SELECT x.{id_col} AS a, y.{id_col} AS b, count(*)::BIGINT AS n_shared
+FROM d x JOIN d y ON x.sh = y.sh AND x.{id_col} < y.{id_col}
+JOIN ok ON ok.sh = x.sh
+GROUP BY 1, 2
+"""
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition quality metrics (the Gopher-rule family,
+    Rae et al. 2021, token-level): total/distinct 2-gram and 3-gram
+    occurrence counts, the top-2-gram occurrence count, and the
+    fraction of tokens covered by the most frequent 2-gram
+    (``top_2g_frac = 2 * top_2g_count / n_tokens``). High values mark
+    boilerplate/spam for training-data filtering.
+
+    Integer counts plus ONE final IEEE division — the SQL oracle
+    performs the identical division of the identical integers, so even
+    the float column compares bit-for-bit.
+    """
+
+    def stats(b: pa.Table) -> pa.Table:
+        lens, flat = _flat_tokens(b.column(text_col))
+        n = len(lens)
+        th = _stable_hash(flat)
+        starts = np.cumsum(lens) - lens
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        out = {id_col: b.column(id_col),
+               "n_tokens": lens.astype(np.int64)}
+        for kk in (2, 3):
+            tot = np.maximum(lens - (kk - 1), 0)
+            off = np.arange(len(th), dtype=np.int64) - starts[doc_of]
+            valid = off <= lens[doc_of] - kk
+            p = np.nonzero(valid)[0]
+            h = th[p].copy()
+            for j in range(1, kk):
+                h = h * _SHINGLE_BASE + th[p + j]
+            d = doc_of[p]
+            po = np.lexsort((h, d))
+            d_s, h_s = d[po], h[po]
+            m = len(d_s)
+            runs = np.empty(m, dtype=bool)
+            if m:
+                runs[0] = True
+                runs[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            rs = np.nonzero(runs)[0]
+            rlen = np.diff(np.append(rs, m))
+            rdoc = d_s[rs]
+            distinct = np.bincount(rdoc, minlength=n) if m else \
+                np.zeros(n, dtype=np.int64)
+            out[f"n_{kk}g"] = tot.astype(np.int64)
+            out[f"n_{kk}g_distinct"] = distinct.astype(np.int64)
+            if kk == 2:
+                top = np.zeros(n, dtype=np.int64)
+                if m:
+                    db = np.empty(m, dtype=bool)
+                    db[0] = True
+                    db[1:] = d_s[1:] != d_s[:-1]
+                    dstarts = np.nonzero(db[rs])[0]
+                    docs_present = rdoc[dstarts]
+                    top[docs_present] = np.maximum.reduceat(rlen, dstarts)
+                out["top_2g_count"] = top
+                frac = np.zeros(n, dtype=np.float64)
+                nz = lens > 0
+                frac[nz] = (2.0 * top[nz]) / lens[nz]
+                out["top_2g_frac"] = frac
+        return pa.table(out)
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
+def repetition_stats_oracle_sql(table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    """Exact DuckDB SQL for ``repetition_stats`` — counts from the same
+    token windows, top-2-gram fraction as the same single division."""
+    return f"""
+WITH t AS (SELECT {id_col}, list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS w FROM {table}),
+g2 AS (SELECT {id_col}, w[i] || ' ' || w[i+1] AS g
+       FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)),
+g3 AS (SELECT {id_col}, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       FROM t, unnest(generate_series(1, len(w) - 2)) AS u(i)),
+c2 AS (SELECT {id_col}, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT {id_col}, sum(c)::BIGINT AS n_2g, count(*)::BIGINT AS d_2g,
+              max(c)::BIGINT AS top2 FROM c2 GROUP BY 1),
+a3 AS (SELECT {id_col}, count(*)::BIGINT AS n_3g,
+              count(DISTINCT g)::BIGINT AS d_3g FROM g3 GROUP BY 1)
+SELECT t.{id_col}, len(w)::BIGINT AS n_tokens,
+  coalesce(a2.n_2g, 0) AS n_2g, coalesce(a2.d_2g, 0) AS n_2g_distinct,
+  coalesce(a2.top2, 0) AS top_2g_count,
+  CASE WHEN len(w) > 0
+       THEN CAST(2 * coalesce(a2.top2, 0) AS DOUBLE) / len(w)
+       ELSE 0.0 END AS top_2g_frac,
+  coalesce(a3.n_3g, 0) AS n_3g, coalesce(a3.d_3g, 0) AS n_3g_distinct
+FROM t LEFT JOIN a2 ON a2.{id_col} = t.{id_col}
+       LEFT JOIN a3 ON a3.{id_col} = t.{id_col}
+"""

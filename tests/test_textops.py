@@ -602,3 +602,68 @@ def test_neardup_minhash_oracle_sql_exact(ray_session):
             empties = {(len(texts) - 5, len(texts) - 4),
                        (len(texts) - 3, len(texts) - 2)}
             assert empties <= set(zip(eng["a"], eng["b"]))
+
+
+def test_dup_spans_vs_sql(ray_session, con, sf_small):
+    got = (T.dup_spans(docs_ds(sf_small), k=8, df_cap=64).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    want = (con.sql(T.dup_spans_oracle_sql(k=8, df_cap=64)).df()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_dup_spans_edge_cases(ray_session):
+    """Short docs (<k tokens) fold to one whole-sequence span; df_cap
+    drops a boilerplate span's pair flood; empty docs contribute
+    nothing."""
+    import ray.data as rd
+
+    texts = (["a b c"] * 3                # 3-token docs, k=8: whole-doc span
+             + ["one two three four five six seven eight nine"] * 2
+             + ["boiler plate span here shared by many many docs x%d" % i
+                for i in range(4)]        # distinct docs, no shared 8-gram
+             + [""])
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts})
+    out = T.dup_spans(rd.from_arrow(tbl), k=8, df_cap=64).to_pandas()
+    pairs = set(zip(out.a, out.b))
+    # the 3 identical short docs pair up via the whole-sequence rule
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    # the two 9-token duplicates share 2 distinct 8-gram spans
+    row = out[(out.a == 3) & (out.b == 4)]
+    assert len(row) == 1 and int(row.n_shared.iloc[0]) == 2
+    # df_cap=2 kills the short-doc triple (df=3 > 2) but keeps the pair
+    capped = T.dup_spans(rd.from_arrow(tbl), k=8, df_cap=2).to_pandas()
+    cp = set(zip(capped.a, capped.b))
+    assert (0, 1) not in cp and (3, 4) in cp
+
+
+def test_repetition_stats_vs_sql(ray_session, con, sf_small):
+    got = (T.repetition_stats(docs_ds(sf_small)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (con.sql(T.repetition_stats_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(),
+                                      err_msg=c)
+
+
+def test_repetition_stats_known_values(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": ["spam spam spam spam",  # top 2-gram covers all
+                             "a b c d",              # all distinct
+                             ""]})
+    out = (T.repetition_stats(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.n_tokens.tolist() == [4, 4, 0]
+    assert out.n_2g.tolist() == [3, 3, 0]
+    assert out.n_2g_distinct.tolist() == [1, 3, 0]
+    assert out.top_2g_count.tolist() == [3, 1, 0]
+    assert out.top_2g_frac.tolist() == [1.5, 0.5, 0.0]
+    assert out.n_3g_distinct.tolist() == [1, 2, 0]
