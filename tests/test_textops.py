@@ -667,3 +667,46 @@ def test_repetition_stats_known_values(ray_session):
     assert out.top_2g_count.tolist() == [3, 1, 0]
     assert out.top_2g_frac.tolist() == [1.5, 0.5, 0.0]
     assert out.n_3g_distinct.tolist() == [1, 2, 0]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+                min_size=2, max_size=12),
+       st.sampled_from([None, 2]))
+def test_dup_spans_matches_brute_force(ray_session, token_docs, df_cap):
+    """dup_spans == per-doc k-gram set intersection counts with the
+    df_cap drop and the short-doc whole-sequence rule (brute force)."""
+    import ray.data as rd
+
+    k = 3
+    texts = [" ".join(toks) for toks in token_docs]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts})
+    out = T.dup_spans(rd.from_arrow(tbl), k=k, df_cap=df_cap).to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.n_shared) for r in out.itertuples()}
+
+    spans = []
+    for toks in token_docs:
+        if len(toks) >= k:
+            spans.append({tuple(toks[i:i + k])
+                          for i in range(len(toks) - k + 1)})
+        elif toks:
+            spans.append({tuple(toks)})
+        else:
+            spans.append(set())
+    df = {}
+    for s in spans:
+        for sp in s:
+            df[sp] = df.get(sp, 0) + 1
+    want = {}
+    for a in range(len(spans)):
+        for b in range(a + 1, len(spans)):
+            shared = {sp for sp in spans[a] & spans[b]
+                      if df_cap is None or df[sp] <= df_cap}
+            if shared:
+                want[(a, b)] = len(shared)
+    assert got == want
