@@ -1138,10 +1138,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5"
         ),
-        # ann_cosine_topk_lsh / ann_cosine_topk_ivf / ann_indexed_topk /
-        # media_features: probabilistic or binary-decode ops -> no SQL
-        # oracle (driver records rows-only); their exactness/soundness
-        # oracles live in tests/.
+        # ann_cosine_topk_ivf / ann_indexed_topk / media_features:
+        # float-k-means or binary-decode ops -> no SQL oracle (driver
+        # records rows-only); their exactness/soundness oracles live
+        # in tests/.
         # embedding_neardup IS exact since round 5: the sign-LSH
         # hyperplanes are deterministic doubles embedded as SQL
         # literals, so candidates AND cosine verification are GENERATED
@@ -1154,6 +1154,13 @@ def oracle_sql() -> dict[str, str]:
         # and the single top-2-gram division are reproduced verbatim
         "dup_spans": _T.dup_spans_oracle_sql(k=8, df_cap=64),
         "repetition_stats": _T.repetition_stats_oracle_sql(),
+        # ann_cosine_topk_lsh IS exact since round 5: deterministic
+        # hyperplanes -> the probed-bucket set (hamming<=multiprobe) is
+        # SQL-recomputable; only IVF (float k-means) and media decode
+        # remain genuinely non-SQL
+        "ann_cosine_topk_lsh": _A.cosine_topk_lsh_oracle_sql(
+            k=10, n_planes=6, multiprobe=2
+        ),
         # neardup_minhash IS exact since round 5: the banding hash is
         # the SQL-recomputable token hash and the permutation family is
         # plain (wrap-64) arithmetic, so candidates AND verification

@@ -378,6 +378,42 @@ WHERE list_cosine_similarity(va.e, vb.e) >= {threshold!r}
 """
 
 
+def cosine_topk_lsh_oracle_sql(k: int = 10, n_planes: int = 6,
+                               multiprobe: int = 2, seed: int = 11,
+                               d: int = 64, query_id: int = 0,
+                               table: str = "embeddings",
+                               id_col: str = "vec_id",
+                               emb_col: str = "embedding") -> str:
+    """Exact DuckDB SQL for ``cosine_topk_lsh`` with a same-table query
+    vector: the hyperplanes are deterministic, so the probed-bucket set
+    (own bucket + every bucket within hamming<=multiprobe) is
+    recomputed in SQL as a per-bit hamming sum, candidates are filtered
+    to probed buckets, and the exact-cosine order with the engine's
+    (cos DESC, id ASC) tie contract yields the same top-k row set.
+    Same literal-embedding pattern as ``embedding_neardup_oracle_sql``.
+    """
+    planes = _hyperplanes(d, n_planes, seed=seed)
+
+    def bits(col: str) -> str:
+        terms = []
+        for j in range(n_planes):
+            lit = "[" + ",".join("%.17g" % x for x in planes[j]) + "]::DOUBLE[]"
+            terms.append(f"(CASE WHEN list_inner_product({col}, {lit}) > 0"
+                         f" THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    ham = " + ".join(f"(((bk >> {j}) & 1) != ((qbk >> {j}) & 1))::INT"
+                     for j in range(n_planes))
+    return f"""
+WITH v AS (SELECT {id_col}, CAST({emb_col} AS DOUBLE[]) AS e FROM {table}),
+q AS (SELECT e AS qe, {bits('e')} AS qbk FROM v WHERE {id_col} = {query_id}),
+b AS (SELECT {id_col}, e, {bits('e')} AS bk FROM v)
+SELECT b.{id_col} FROM b, q
+WHERE {ham} <= {multiprobe}
+ORDER BY list_cosine_similarity(b.e, q.qe) DESC, b.{id_col}
+LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # IVF: k-means coarse quantizer (train / assign / probe)
 # ---------------------------------------------------------------------------

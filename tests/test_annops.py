@@ -296,3 +296,23 @@ def test_embedding_neardup_oracle_sql_matches(ray_session, sf_small):
     sql_pairs = set(map(tuple, con.sql(sql).fetchall()))
     assert ray_pairs == sql_pairs
     assert len(ray_pairs) > 0
+
+
+def test_cosine_topk_lsh_oracle_sql_matches(ray_session, sf_small):
+    """The generated DuckDB SQL reproduces the LSH probe set AND the
+    exact-cosine top-k order (cos DESC, id ASC tie contract)."""
+    import duckdb
+
+    qv = A._emb_matrix(pq.read_table(
+        f"{sf_small}/embeddings.parquet", filters=[("vec_id", "=", 0)]))
+    got = A.cosine_topk_lsh(emb_ds(sf_small), qv, k=10,
+                            n_planes=6, multiprobe=2)
+    got_ids = got["vec_id"].tolist()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    want = [r[0] for r in con.sql(A.cosine_topk_lsh_oracle_sql(
+        k=10, n_planes=6, multiprobe=2)).fetchall()]
+    assert got_ids == want and len(want) == 10
