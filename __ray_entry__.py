@@ -524,7 +524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return T.jaccard_pairs_exact(_docs(sf), tau=0.5, prefix_filter=True)
 
     def neardup_minhash(sf):
-        # probabilistic recall -> rows-only check; soundness proven in pytest
+        # exact generated-SQL oracle since round 5 (the banding hash and
+        # wrap-64 permutation family are SQL-recomputable); soundness +
+        # recall ALSO proven in pytest vs DuckDB 3-gram truth
         return T.neardup_minhash(_docs(sf), tau=0.8)
 
     def lang_id(sf):
@@ -567,33 +569,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out[["vec_id"]]
 
-    def ann_indexed_topk(sf):
-        # build-once/query-many ANN: persisted IVF index (one parquet
-        # list per centroid + manifest with the quantizer), probes read
-        # only their lists. nprobe = n_centroids is EXACT (pytest pins
-        # equality with cosine_topk); the driver row runs the pruned
-        # approximate path -> rows-only
-        import hashlib
-        import pyarrow.parquet as pq
-
-        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-        path = f"/tmp/geograft_ann_idx_{tag}"
-        emb = read_parquet_sized(f"{sf}/embeddings.parquet",
-                                 columns=["vec_id", "embedding"])
-        A.build_ann_index(emb, path, n_centroids=16, iters=3)
-        q = pq.read_table(
-            f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
-        )
-        qv = A._emb_matrix(q)
-        out = A.ann_query_index(path, qv, k=10, nprobe=6)
-        return out[["vec_id"]]
-
-    def ann_indexed_topk_exact(sf):
-        # the persisted-index READ path at nprobe = n_centroids: probes
-        # every list, so the result is EXACTLY brute-force cosine_topk
-        # — which gives the pruned-read machinery (manifest quantizer,
-        # per-list parquet reads, distributed top-k finish) a full
-        # hash-match oracle row instead of rows-only
+    def _ann_index_for(sf):
+        # shared build for BOTH indexed-topk queries: one /tmp path per
+        # sf dir, ONE parameter set (n_centroids=16, iters=3). The two
+        # queries previously duplicated this block verbatim — and
+        # build_ann_index's resume=True reuses the persisted quantizer
+        # at the same path, so a param drift between copies would be
+        # silently masked. Returns (manifest, query_vec).
         import hashlib
         import pyarrow.parquet as pq
 
@@ -605,7 +587,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = pq.read_table(
             f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
         )
-        qv = A._emb_matrix(q)
+        return path, man, A._emb_matrix(q)
+
+    def ann_indexed_topk(sf):
+        # build-once/query-many ANN: persisted IVF index (one parquet
+        # list per centroid + manifest with the quantizer), probes read
+        # only their lists. nprobe = n_centroids is EXACT (pytest pins
+        # equality with cosine_topk); the driver row runs the pruned
+        # approximate path -> rows-only
+        path, _, qv = _ann_index_for(sf)
+        out = A.ann_query_index(path, qv, k=10, nprobe=6)
+        return out[["vec_id"]]
+
+    def ann_indexed_topk_exact(sf):
+        # the persisted-index READ path at nprobe = n_centroids: probes
+        # every list, so the result is EXACTLY brute-force cosine_topk
+        # — which gives the pruned-read machinery (manifest quantizer,
+        # per-list parquet reads, distributed top-k finish) a full
+        # hash-match oracle row instead of rows-only
+        path, man, qv = _ann_index_for(sf)
         out = A.ann_query_index(path, qv, k=10,
                                 nprobe=len(man["centroids"]))
         return out[["vec_id"]]

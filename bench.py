@@ -560,7 +560,8 @@ def run_textlap() -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False)
     from geograft.io import read_parquet_sized
-    from geograft.ops import DIRECT_EXCHANGE_MAX_BYTES
+    from geograft.ops import (DIRECT_EXCHANGE_MAX_BYTES,
+                              DIRECT_EXCHANGE_MIN_BYTES)
     from geograft.scale import input_bytes_estimate, shuffle_buckets
 
     docs = read_parquet_sized(f"{lap_dir}/documents.parquet",
@@ -580,7 +581,8 @@ def run_textlap() -> dict:
         "shuffle_buckets": nb,
         "docs_inmem_bytes_est": est,
         "exchange": ("direct" if est is not None
-                     and est <= DIRECT_EXCHANGE_MAX_BYTES else "sort"),
+                     and DIRECT_EXCHANGE_MIN_BYTES <= est
+                     <= DIRECT_EXCHANGE_MAX_BYTES else "sort"),
         "num_cpus": NUM_CPUS,
         "input": lap_dir,
         "sf": SF_DIR,

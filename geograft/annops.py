@@ -443,8 +443,15 @@ def ivf_build(ds, n_centroids: int = 64, iters: int = 4,
     seed a handful of clusters and strand centroids between them. On
     the tree path a combine wave runs maxmin within each rep partition
     first, so the driver-side union is reduce_blocks x kc rows, not
-    blocks x kc. Deterministic for a fixed block layout; empty clusters
-    re-seed from a fixed rotation of the live set.
+    blocks x kc. NOTE the two reductions have different equivalence
+    strength: the per-ITERATION (cnt, vsum) combine is associative
+    summation, so tree and driver folds agree up to fp order; the SEED
+    wave's maxmin-of-maxmin is a coarser farthest-point net than flat
+    maxmin over the full rep union and may pick different (equally
+    spread) seeds — the contract is centroid QUALITY, not seed
+    identity (pytest pins quality on both paths plus per-path
+    determinism). Deterministic for a fixed block layout; empty
+    clusters re-seed from a fixed rotation of the live set.
     """
     import ray
 

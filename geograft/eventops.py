@@ -224,9 +224,14 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
             karr = b.column(key)
             if isinstance(karr, pa.ChunkedArray):
                 karr = karr.combine_chunks()
+            # bucket-hash the CAST key, not the raw column: with mixed
+            # int/string sides (keyval_t == string) the raw int would
+            # pass through _key_hash_for_bucket while the string side
+            # xxhashes, so equal keys would land in different buckets
+            kval = karr.cast(keyval_t)
             out = {
-                "__key": pa.array(_key_hash_for_bucket(karr)),
-                "__keyval": karr.cast(keyval_t),
+                "__key": pa.array(_key_hash_for_bucket(kval)),
+                "__keyval": kval,
                 "__ts": _ts_us(b.column(ts)),
                 "__side": pa.array(np.full(len(b), side, dtype=np.int8)),
             }

@@ -1737,7 +1737,7 @@ def dup_spans_oracle_sql(k: int = 8, df_cap: int | None = 64,
     gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k)).replace(
         "w[i+0]", "w[i]")
     return f"""
-WITH t AS (SELECT {id_col}, list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS w FROM {table}),
+WITH t AS (SELECT {id_col}, {tokens_sql(text_col)} AS w FROM {table}),
 g AS (
   SELECT {id_col}, {gram} AS sh
   FROM t, unnest(generate_series(1, len(w) - {k - 1})) AS u(i)
@@ -1824,7 +1824,7 @@ def repetition_stats_oracle_sql(table: str = "documents",
     """Exact DuckDB SQL for ``repetition_stats`` — counts from the same
     token windows, top-2-gram fraction as the same single division."""
     return f"""
-WITH t AS (SELECT {id_col}, list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS w FROM {table}),
+WITH t AS (SELECT {id_col}, {tokens_sql(text_col)} AS w FROM {table}),
 g2 AS (SELECT {id_col}, w[i] || ' ' || w[i+1] AS g
        FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)),
 g3 AS (SELECT {id_col}, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
@@ -1834,7 +1834,7 @@ a2 AS (SELECT {id_col}, sum(c)::BIGINT AS n_2g, count(*)::BIGINT AS d_2g,
               max(c)::BIGINT AS top2 FROM c2 GROUP BY 1),
 a3 AS (SELECT {id_col}, count(*)::BIGINT AS n_3g,
               count(DISTINCT g)::BIGINT AS d_3g FROM g3 GROUP BY 1)
-SELECT t.{id_col}, len(w)::BIGINT AS n_tokens,
+SELECT t.{id_col}, coalesce(len(w), 0)::BIGINT AS n_tokens,
   coalesce(a2.n_2g, 0) AS n_2g, coalesce(a2.d_2g, 0) AS n_2g_distinct,
   coalesce(a2.top2, 0) AS top_2g_count,
   CASE WHEN len(w) > 0

@@ -241,9 +241,15 @@ def test_ann_query_index_no_matching_lists(ray_session, sf_small, tmp_path):
 
 
 def test_ivf_build_tree_reduce_matches_driver_fold(ray_session):
-    """The two-wave tree combine (big-input path, tree=True) trains the
-    same quantizer as the bounded driver fold — identical up to fp
-    summation order — and the centroid-quality bar holds on both."""
+    """Contract of the two-wave tree combine (big-input path,
+    tree=True) vs the bounded driver fold: the per-iteration (cnt,
+    vsum) reduction is associative, but the SEED wave's
+    maxmin-of-maxmin may legitimately pick different (equally spread)
+    seeds than flat maxmin — so the pinned contract is (a) the
+    centroid-QUALITY bar holds on BOTH paths and (b) each path is
+    deterministic run-to-run. On this fixed fixture the two paths
+    happen to converge to the same fixed point, asserted as a
+    regression pin, not as a semantic guarantee."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -267,10 +273,13 @@ def test_ivf_build_tree_reduce_matches_driver_fold(ray_session):
 
     cm_driver = A.ivf_build(ds(), n_centroids=n_clusters, iters=4, tree=False)
     cm_tree = A.ivf_build(ds(), n_centroids=n_clusters, iters=4, tree=True)
-    # same block layout, same partials — only the fold order differs
+    # (a) the real contract: quality bar on BOTH paths
+    for name, cm in (("driver", cm_driver), ("tree", cm_tree)):
+        best = (A._normalize(cm) @ centers.T).max(axis=1)
+        assert (best > 0.95).all(), f"{name}-path centroids off-cluster: {best}"
+    # regression pin only (seed waves CAN legitimately diverge on other
+    # layouts): on this fixed fixture both paths reach one fixed point
     np.testing.assert_allclose(cm_tree, cm_driver, rtol=1e-9, atol=1e-12)
-    best = (A._normalize(cm_tree) @ centers.T).max(axis=1)
-    assert (best > 0.95).all(), f"tree-path centroids off-cluster: {best}"
     # tree path is deterministic run to run
     again = A.ivf_build(ds(), n_centroids=n_clusters, iters=4, tree=True)
     np.testing.assert_array_equal(cm_tree, again)

@@ -237,3 +237,32 @@ def test_asof_string_keys_vs_duckdb(ray_session, sf_small):
     assert (gm == wm).all()
     assert (g.loc[~gm, "o_orderdate"].to_numpy()
             == w.loc[~wm, "o_orderdate"].to_numpy()).all()
+
+
+def test_asof_mixed_int_string_keys(ray_session):
+    """Mixed key dtypes (int left, string right): both sides cast to
+    string BEFORE the bucket hash, so logically-equal keys co-locate.
+    Regression: hashing the raw columns passed the int through while
+    xxhashing the string, bucketing equal keys apart -> all-null
+    matches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({
+        "eid": [1, 2, 3],
+        "k": pa.array([5, 7, 5], type=pa.int64()),
+        "ts": pa.array([100, 100, 10], type=pa.int64()),
+    })
+    right = pa.table({
+        "k2": ["5", "7", "5"],
+        "d": pa.array([60, 90, 80], type=pa.int64()),
+        "tag": [10, 20, 30],
+    })
+    out = E.asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_key="k", right_key="k2", left_ts="ts", right_ts="d",
+        right_cols=["tag"],
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    assert out.loc[0, "tag"] == 30        # 5@100 <- "5"@80
+    assert out.loc[1, "tag"] == 20        # 7@100 <- "7"@90
+    assert pd.isna(out.loc[2, "tag"])     # 5@10: no right <= 10

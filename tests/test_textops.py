@@ -710,3 +710,34 @@ def test_dup_spans_matches_brute_force(ray_session, token_docs, df_cap):
             if shared:
                 want[(a, b)] = len(shared)
     assert got == want
+
+
+def test_dup_spans_and_repetition_stats_null_and_unicode_ws(ray_session):
+    """NULL text and non-ASCII whitespace (\xa0, \x0b) must agree
+    between the engine (_flat_tokens / utf8_split_whitespace) and the
+    generated oracles (tokens_sql) — the RE2 '\\s' class would NOT
+    split on these (review finding, round 5)."""
+    import duckdb
+    import ray.data as rd
+
+    texts = ["a b\xa0c d e", "z a b\x0bc d q", None, "", "p q r"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    con2 = duckdb.connect()
+    con2.register("documents_tbl", tbl.to_pandas())
+    con2.sql("CREATE VIEW documents AS SELECT * FROM documents_tbl")
+
+    got = (T.repetition_stats(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (con2.sql(T.repetition_stats_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    for c in sorted(got.columns):
+        np.testing.assert_array_equal(got[c].to_numpy(),
+                                      want[c].to_numpy(), err_msg=c)
+    assert got.n_tokens.tolist() == [5, 6, 0, 0, 3]
+
+    g2 = T.dup_spans(rd.from_arrow(tbl), k=3, df_cap=None).to_pandas()
+    w2 = con2.sql(T.dup_spans_oracle_sql(k=3, df_cap=None)).df()
+    assert len(g2) == 1  # docs 0/1 share 'b c d' across \xa0 and \x0b
+    assert (set(zip(g2.a, g2.b, g2.n_shared))
+            == set(zip(w2.a, w2.b, w2.n_shared)))
