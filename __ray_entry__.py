@@ -483,6 +483,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bpe_token_stats(sf):
         return T.bpe_token_stats(_docs(sf))
 
+    def sample_mix(sf):
+        # deterministic stratified data-mixing sample: keep iff
+        # splitmix64(doc_id XOR seed) < rate[source] * 2^64 — no
+        # shuffle, no RNG state, bit-identical on retry/resume; the
+        # oracle reproduces the mix with HUGEINT arithmetic
+        return T.sample_stratified(
+            read_parquet_sized(f"{sf}/documents.parquet"),
+            rates={"src0": 0.0, "src1": 1.0, "src2": 0.25, "src3": 0.5},
+            default_rate=0.75,
+        )
+
     def dup_spans(sf):
         # substring-level dedup signal (Lee et al. 2021 shape): doc
         # pairs sharing an 8-token contiguous span; df_cap=64 is part
@@ -860,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round 5 additions --------------------------------------------
         "dup_spans": dup_spans,
         "repetition_stats": repetition_stats,
+        "sample_mix": sample_mix,
     })
 
 
@@ -1154,6 +1166,10 @@ def oracle_sql() -> dict[str, str]:
         # and the single top-2-gram division are reproduced verbatim
         "dup_spans": _T.dup_spans_oracle_sql(k=8, df_cap=64),
         "repetition_stats": _T.repetition_stats_oracle_sql(),
+        "sample_mix": _T.sample_stratified_oracle_sql(
+            rates={"src0": 0.0, "src1": 1.0, "src2": 0.25, "src3": 0.5},
+            default_rate=0.75,
+        ),
         # ann_cosine_topk_lsh IS exact since round 5: deterministic
         # hyperplanes -> the probed-bucket set (hamming<=multiprobe) is
         # SQL-recomputable; only IVF (float k-means) and media decode

@@ -1844,3 +1844,91 @@ SELECT t.{id_col}, coalesce(len(w), 0)::BIGINT AS n_tokens,
 FROM t LEFT JOIN a2 ON a2.{id_col} = t.{id_col}
        LEFT JOIN a3 ON a3.{id_col} = t.{id_col}
 """
+
+
+def _splitmix64_np(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer on uint64 (same mixers as _sql_hash)."""
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_MIX1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX2)
+        return z ^ (z >> np.uint64(31))
+
+
+def sample_stratified(ds, rates: dict[str, float],
+                      strata_col: str = "source",
+                      key_col: str = "doc_id",
+                      default_rate: float = 1.0,
+                      seed: int = 0x9E3779B97F4A7C15):
+    """Deterministic stratified (data-mixing) sample: keep a row iff
+    splitmix64(key XOR seed) < rate[stratum] * 2^64. The standard
+    reproducible-downsampling shape for corpus mixing at scale:
+
+    - NO shuffle, no RNG state — one streaming map_batches filter, so
+      it composes with any pipeline position and costs one pass;
+    - decisions depend only on (key, seed, stratum rate), so retries,
+      resumes and re-runs keep EXACTLY the same rows (a sampled shard
+      can be rebuilt bit-identically after a node loss);
+    - per-stratum rates are exact integer thresholds (floor(rate*2^64)
+      compared against the 64-bit mix), so the realized sample is the
+      same in any engine that reproduces the mix — the DuckDB oracle
+      (`sample_stratified_oracle_sql`) is generated from the same
+      constants.
+
+    Strata absent from ``rates`` keep ``default_rate``.
+    """
+    thr = {k: min(int(v * float(_M64)), _M64) for k, v in rates.items()}
+    default_thr = min(int(default_rate * float(_M64)), _M64)
+    seed_u = np.uint64(seed & (_M64 - 1))
+
+    def keep(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        ids = b.column(key_col).to_numpy().astype(np.uint64)
+        h = _splitmix64_np(ids ^ seed_u)
+        strata = b.column(strata_col)
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        enc = strata.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        # a rate-1.0 threshold is 2^64, one past uint64: carry it as a
+        # separate always-keep flag so the h < thr compare stays exact
+        t_all = [thr.get(u, default_thr) for u in uniq]
+        t_small = np.array([min(t, _M64 - 1) for t in t_all],
+                           dtype=np.uint64)
+        t_full = np.array([t >= _M64 for t in t_all], dtype=bool)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        mask = (h < t_small[idx]) | t_full[idx]
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def sample_stratified_oracle_sql(rates: dict[str, float],
+                                 strata_col: str = "source",
+                                 key_col: str = "doc_id",
+                                 default_rate: float = 1.0,
+                                 seed: int = 0x9E3779B97F4A7C15,
+                                 table: str = "documents") -> str:
+    """Exact DuckDB SQL for ``sample_stratified``: the splitmix64 mix
+    and the integer thresholds are reproduced with HUGEINT arithmetic
+    (the token_hash_sql_ctes machinery), so the kept row set is
+    bit-identical."""
+    thr = {k: min(int(v * float(_M64)), _M64) for k, v in rates.items()}
+    default_thr = min(int(default_rate * float(_M64)), _M64)
+    cases = " ".join(f"WHEN '{k}' THEN {v}::HUGEINT"
+                     for k, v in sorted(thr.items()))
+    case_sql = (f"CASE {strata_col} {cases} ELSE {default_thr}::HUGEINT END"
+                if thr else f"{default_thr}::HUGEINT")
+    seed_u = seed & (_M64 - 1)
+    z0 = f"xor({key_col}::UBIGINT, {seed_u}::UBIGINT)::HUGEINT"
+    z1 = _mulmod64_sql(f"xor(({z0})::UBIGINT, ({z0})::UBIGINT >> 30)::HUGEINT",
+                       _MIX1)
+    return f"""
+WITH m1 AS (SELECT *, {z1} AS z FROM {table}),
+m2 AS (SELECT * EXCLUDE (z),
+       {_mulmod64_sql("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT", _MIX2)}
+       AS z FROM m1),
+mf AS (SELECT * EXCLUDE (z), xor(z::UBIGINT, z::UBIGINT >> 31)::HUGEINT AS h
+       FROM m2)
+SELECT * EXCLUDE (h) FROM mf WHERE h < {case_sql}
+"""

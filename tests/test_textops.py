@@ -741,3 +741,26 @@ def test_dup_spans_and_repetition_stats_null_and_unicode_ws(ray_session):
     assert len(g2) == 1  # docs 0/1 share 'b c d' across \xa0 and \x0b
     assert (set(zip(g2.a, g2.b, g2.n_shared))
             == set(zip(w2.a, w2.b, w2.n_shared)))
+
+
+def test_sample_stratified_vs_sql_and_determinism(ray_session, con, sf_small):
+    """Deterministic stratified sampler: kept-row SET is bit-identical
+    to the generated HUGEINT SQL; rate-0 strata vanish, rate-1 strata
+    survive whole; re-running keeps EXACTLY the same rows (the
+    resume/retry contract)."""
+    rates = {"src0": 0.0, "src1": 1.0, "src2": 0.25}
+
+    def run():
+        return T.sample_stratified(
+            read_parquet_sized(f"{sf_small}/documents.parquet"),
+            rates, default_rate=0.6,
+        ).to_pandas()
+
+    got = run()
+    want = con.sql(T.sample_stratified_oracle_sql(rates, default_rate=0.6)).df()
+    assert set(got.doc_id) == set(want.doc_id) and len(got) > 0
+    by = got.groupby("source").size()
+    assert "src0" not in by.index
+    assert by["src1"] == 25  # every src1 doc kept at rate 1.0
+    again = run()
+    assert set(again.doc_id) == set(got.doc_id)
