@@ -1874,7 +1874,9 @@ def sample_stratified(ds, rates: dict[str, float],
       (`sample_stratified_oracle_sql`) is generated from the same
       constants.
 
-    Strata absent from ``rates`` keep ``default_rate``.
+    Strata absent from ``rates`` keep ``default_rate``. Keys must be
+    non-negative int64 (the oracle's ``::UBIGINT`` cast rejects
+    negatives loudly rather than silently wrapping like numpy would).
     """
     thr = {k: min(int(v * float(_M64)), _M64) for k, v in rates.items()}
     default_thr = min(int(default_rate * float(_M64)), _M64)
