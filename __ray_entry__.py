@@ -360,6 +360,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         P.sanity_check_index(path)
         return P.read_index(path).select_columns(["id"])
 
+    def indexed_upsert(sf):
+        # InsertionStrategy surface (params.rs:82-88) against the
+        # persisted index: ids 0..199 take the coordinates of ids
+        # 200..399 via strategy='upsert' — the delta row replaces the
+        # existing same-id row EVERYWHERE (the old copy is tombstoned
+        # in its old cell before the merge, so moved geometries never
+        # duplicate)
+        import pyarrow.compute as pc
+
+        P, path = _index_2d(sf)
+
+        def relabel(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b.column("id"), 200),
+                        pc.less(b.column("id"), 400))
+            b = b.filter(m)
+            return b.set_column(b.schema.get_field_index("id"), "id",
+                                pc.subtract(b.column("id"), 200))
+
+        delta = _points(sf).map_batches(relabel, batch_format="pyarrow",
+                                        batch_size=None)
+        P.ingest_delta(path, delta, strategy="upsert")
+        P.sanity_check_index(path)
+        return P.read_index(path).select_columns(["id", "x", "y"])
+
     def _circles(sf):
         # custom-geometry registry (object.rs:83-200; Circle example at
         # object.rs:100-153): register once, then every distance/
@@ -872,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": dup_spans,
         "repetition_stats": repetition_stats,
         "sample_mix": sample_mix,
+        "indexed_upsert": indexed_upsert,
     })
 
 
@@ -1086,6 +1111,16 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT COALESCE(min(id), -1) FROM ({P}) WHERE x = {cx} AND y = {cy})"
         ),
         "indexed_remove_reinsert": f"SELECT id FROM ({P})",
+        # upsert: ids 0..199 take the coords of ids 200..399; the rest
+        # keep theirs — the strategy-applied union, in plain SQL
+        "indexed_upsert": (
+            f"WITH pts AS ({P}), "
+            "moved AS (SELECT id - 200 AS id, x, y FROM pts "
+            "WHERE id >= 200 AND id < 400) "
+            "SELECT id, x, y FROM pts "
+            "WHERE id NOT IN (SELECT id FROM moved) "
+            "UNION ALL SELECT id, x, y FROM moved"
+        ),
         "tile_histogram": (
             f"WITH t AS (SELECT x, y, "
             f"LEAST(GREATEST(CAST(FLOOR((x - ({b.minx})) / {b.width} * {TILE_N}) AS BIGINT), 0), {TILE_N - 1}) AS tile_x, "

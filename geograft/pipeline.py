@@ -967,13 +967,73 @@ def compact_index(path: str, id_col: str = "id") -> dict:
     return man
 
 
-def ingest_delta(path: str, delta_ds) -> dict:
+def _insert_rstar(old: pa.Table | None, new: pa.Table) -> pa.Table:
+    """Default strategy: old + new rows, partition rebuilt at read time
+    (the distributed equivalence class of R* insert — the contract is
+    SET equality with a from-scratch bulk build, rtree.rs:905-909
+    explicitly allows duplicates)."""
+    if old is None:
+        return new
+    return pa.concat_tables([old, new.select(old.column_names)])
+
+
+# the InsertionStrategy trait surface (params.rs:82-88,
+# algorithm/rstar.rs:20): HOW delta rows merge into a touched
+# partition is pluggable. A strategy is {"merge": (old_table | None,
+# new_table) -> merged_table, "replace_by_id": bool}; merge runs
+# per-partition with the old and new rows of that cell co-located.
+# replace_by_id=True additionally tombstones every EXISTING row whose
+# id appears in the delta BEFORE the merge — the cross-partition half
+# of upsert (a moved geometry routes to a new cell, so its old copy
+# must die in its OLD cell; that pass reads the id column of every
+# live partition, the honest cost of upsert without an id->cell
+# index). Built-ins: 'rstar' (duplicates allowed, rtree.rs:905-909)
+# and 'upsert' (remove-then-insert fused, removal.rs:257-302 + insert
+# as one ingest).
+INSERTION_STRATEGIES: dict[str, dict] = {
+    "rstar": {"merge": _insert_rstar, "replace_by_id": False},
+    "upsert": {"merge": _insert_rstar, "replace_by_id": True},
+}
+
+
+def register_insertion_strategy(name: str, merge_fn,
+                                replace_by_id: bool = False) -> None:
+    """Register a custom insertion strategy (InsertionStrategy trait
+    analogue — rstar ships exactly one impl, RStarInsertionStrategy;
+    this is the extension point user code plugs into)."""
+    if name in ("rstar", "upsert"):
+        raise ValueError(f"'{name}' is a built-in strategy")
+    INSERTION_STRATEGIES[name] = {"merge": merge_fn,
+                                  "replace_by_id": bool(replace_by_id)}
+
+
+def ingest_delta(path: str, delta_ds, strategy: str = "rstar") -> dict:
     """Incremental insert (rstar R* insert, SURVEY.md §2.1): route delta
     rows to their cells, REBUILD only the touched partitions (merge old
-    + new rows, rewrite file), update the manifest. The tested contract
-    is bulk-vs-incremental equivalence: query answers equal a from-
-    scratch bulk build over the union (bulk_load_sequential.rs:111-151
+    + new rows via the named insertion STRATEGY, rewrite file), update
+    the manifest. The tested contract is bulk-vs-incremental
+    equivalence: query answers equal a from-scratch bulk build over the
+    strategy-applied union (bulk_load_sequential.rs:111-151
     re-expressed)."""
+    import ray
+
+    spec = INSERTION_STRATEGIES[strategy]
+    merge_rows = spec["merge"]
+    if spec.get("replace_by_id"):
+        # cross-partition replace: tombstone the delta's ids wherever
+        # they currently live (ids-only driver gather — 8 B/row; split
+        # the ingest if a delta's id set exceeds driver memory)
+        id_blocks = ray.get(ops.arrow_refs(delta_ds.select_columns(["id"])))
+        del_ids = np.unique(np.concatenate(
+            [b.column("id").to_numpy() for b in id_blocks]
+        )) if id_blocks else np.empty(0, dtype=np.int64)
+        if len(del_ids):
+            ids_ref = ray.put(del_ids)
+
+            def _sel(b: pa.Table) -> np.ndarray:
+                return np.isin(b.column("id").to_numpy(), ray.get(ids_ref))
+
+            tombstone_index(path, _sel)
     man = load_manifest(path)
     base_level = man["base_level"]
     bounds = G.Bounds(*man["bounds"])
@@ -1018,7 +1078,9 @@ def ingest_delta(path: str, delta_ds) -> dict:
                 if dl is not None:
                     old = old.filter(
                         pa.array(~np.isin(old.column("id").to_numpy(), dl)))
-                part = pa.concat_tables([old, part.select(old.column_names)])
+                part = merge_rows(old, part)
+            else:
+                part = merge_rows(None, part)
             tmp = fname + ".tmp"
             pq.write_table(part, tmp)
             os.replace(tmp, fname)

@@ -534,3 +534,84 @@ def test_index_selection_function_sees_tombstones(ray_session, sf_small, tmp_ind
     assert 0 < n_read < n_total
     want = live["id"][live["x"].to_numpy() < 100.0]
     assert set(out.to_pandas()["id"]) == set(want)
+
+
+def test_ingest_upsert_strategy_replaces_by_id(ray_session, tmp_path):
+    """InsertionStrategy surface (params.rs:82-88): the 'upsert'
+    built-in makes a delta row REPLACE the existing same-id row;
+    query answers equal a bulk build over the replaced union."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    xy = rng.uniform(0, 1, (n, 2))
+    t = pa.table({"id": np.arange(n), "minx": xy[:, 0], "miny": xy[:, 1],
+                  "maxx": xy[:, 0], "maxy": xy[:, 1]})
+    bounds = G.Bounds(0, 0, 1, 1)
+    path = str(tmp_path / "ups")
+    pipeline.build_partitioned_index(
+        rd.from_arrow(t), path, base_level=3, bounds=bounds)
+    # move the first 300 ids to new coordinates
+    moved = rng.uniform(0, 1, (300, 2))
+    delta = pa.table({"id": np.arange(300),
+                      "minx": moved[:, 0], "miny": moved[:, 1],
+                      "maxx": moved[:, 0], "maxy": moved[:, 1]})
+    pipeline.ingest_delta(path, rd.from_arrow(delta), strategy="upsert")
+    pipeline.sanity_check_index(path, expected_rows=n)
+    final = xy.copy()
+    final[:300] = moved
+    q = (0.2, 0.2, 0.7, 0.7)
+    got = np.sort(
+        pipeline.query_index_envelope(path, *q).to_pandas()["id"].to_numpy())
+    want = np.nonzero((final[:, 0] >= q[0]) & (final[:, 0] <= q[2])
+                      & (final[:, 1] >= q[1]) & (final[:, 1] <= q[3]))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_register_custom_insertion_strategy(ray_session, tmp_path):
+    """A user-registered strategy routes through ingest_delta (the
+    trait's extension point): keep-old-on-conflict (insert-if-absent,
+    a cell-local merge — same id at the same coordinates is dropped,
+    genuinely new ids are inserted)."""
+    import ray.data as rd
+
+    def insert_if_absent(old, new, id_col="id"):
+        if old is None:
+            return new
+        fresh = ~np.isin(new.column(id_col).to_numpy(),
+                         old.column(id_col).to_numpy())
+        return pa.concat_tables(
+            [old, new.filter(pa.array(fresh)).select(old.column_names)])
+
+    pipeline.register_insertion_strategy("if_absent", insert_if_absent)
+    try:
+        rng = np.random.default_rng(3)
+        xy = rng.uniform(0, 1, (500, 2))
+        t = pa.table({"id": np.arange(500), "minx": xy[:, 0],
+                      "miny": xy[:, 1], "maxx": xy[:, 0], "maxy": xy[:, 1]})
+        path = str(tmp_path / "ifabs")
+        pipeline.build_partitioned_index(
+            rd.from_arrow(t), path, base_level=3, bounds=G.Bounds(0, 0, 1, 1))
+        # 50 conflicting rows (same id, same coords -> same cell: must
+        # be DROPPED) + 50 genuinely new ids (must be inserted)
+        nxy = rng.uniform(0, 1, (50, 2))
+        delta = pa.table({
+            "id": np.concatenate([np.arange(50), np.arange(500, 550)]),
+            "minx": np.concatenate([xy[:50, 0], nxy[:, 0]]),
+            "miny": np.concatenate([xy[:50, 1], nxy[:, 1]]),
+            "maxx": np.concatenate([xy[:50, 0], nxy[:, 0]]),
+            "maxy": np.concatenate([xy[:50, 1], nxy[:, 1]]),
+        })
+        pipeline.ingest_delta(path, rd.from_arrow(delta), strategy="if_absent")
+        pipeline.sanity_check_index(path, expected_rows=550)
+        allxy = np.vstack([xy, nxy])
+        q = (0.1, 0.1, 0.8, 0.8)
+        got = np.sort(pipeline.query_index_envelope(
+            path, *q).to_pandas()["id"].to_numpy())
+        want = np.nonzero((allxy[:, 0] >= q[0]) & (allxy[:, 0] <= q[2])
+                          & (allxy[:, 1] >= q[1]) & (allxy[:, 1] <= q[3]))[0]
+        np.testing.assert_array_equal(got, want)  # no duplicate ids
+        with pytest.raises(ValueError):
+            pipeline.register_insertion_strategy("rstar", insert_if_absent)
+    finally:
+        pipeline.INSERTION_STRATEGIES.pop("if_absent", None)
