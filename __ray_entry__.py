@@ -661,6 +661,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out[["vec_id"]]
 
+    def ann_ivf_topk_exact(sf):
+        # the in-memory IVF path at nprobe = n_centroids: every list is
+        # scanned regardless of the (float-k-means) assignment, so the
+        # result is EXACTLY brute-force cosine_topk — a full hash-match
+        # row for the probe/scan/top-k-finish machinery (the pruned
+        # nprobe=8 row stays rows-only because centroids aren't SQL)
+        import pyarrow.parquet as pq
+
+        q = pq.read_table(
+            f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)]
+        )
+        qv = A._emb_matrix(q)
+        out = A.cosine_topk_ivf(
+            read_parquet_sized(f"{sf}/embeddings.parquet"), qv, k=10,
+            n_centroids=16, nprobe=16, iters=3,
+        )
+        return out[["vec_id"]]
+
     def embedding_neardup(sf):
         # fixture embeddings are near-random (max off-diag cosine ~0.51),
         # so use a threshold that actually surfaces the closest pairs;
@@ -897,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats,
         "sample_mix": sample_mix,
         "indexed_upsert": indexed_upsert,
+        "ann_ivf_topk_exact": ann_ivf_topk_exact,
     })
 
 
@@ -1288,6 +1307,14 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate <= e2.ts GROUP BY 1) m ON m.eid = e.event_id"
         ),
         "ann_cosine_topk": (
+            "SELECT vec_id FROM embeddings ORDER BY "
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "
+            "vec_id LIMIT 10"
+        ),
+        # in-memory IVF at nprobe=all == exact brute force (every list
+        # scanned; the quantizer only partitions the scan)
+        "ann_ivf_topk_exact": (
             "SELECT vec_id FROM embeddings ORDER BY "
             "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "
