@@ -325,3 +325,18 @@ def test_cosine_topk_lsh_oracle_sql_matches(ray_session, sf_small):
     want = [r[0] for r in con.sql(A.cosine_topk_lsh_oracle_sql(
         k=10, n_planes=6, multiprobe=2)).fetchall()]
     assert got_ids == want and len(want) == 10
+
+
+def test_cosine_topk_ivf_nprobe_all_is_exact(ray_session, sf_small, emb_np):
+    """nprobe = n_centroids scans every inverted list, so the IVF path
+    must return EXACTLY brute-force cosine_topk (ties included) —
+    the contract behind the ann_ivf_topk_exact driver row."""
+    import pandas as pd
+
+    ids, m = emb_np
+    qv = m[:3]
+    exact = A.cosine_topk(emb_ds(sf_small), qv, k=7)
+    ivf = A.cosine_topk_ivf(emb_ds(sf_small), qv, k=7,
+                            n_centroids=8, nprobe=8, iters=2)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), ivf.reset_index(drop=True))
