@@ -228,15 +228,20 @@ def sanity_check_index(path: str, expected_rows: int | None = None) -> None:
         assert hi_x.max() == p["maxx"] and hi_y.max() == p["maxy"]
         cells = t.column("cell_id").to_numpy()
         assert (cells == int(cid)).all(), f"cell {cid}: foreign rows"
-        # pending tombstones: unique ids, every one present in the file
+        # pending tombstones: unique ids, every one present in the
+        # file, and the manifest's deleted == PHYSICAL matching rows
+        # (duplicate ids mean one tombstone kills several copies)
         nd = p.get("deleted", 0)
         if nd:
             dl = pq.read_table(
                 os.path.join(path, _del_name(int(cid)))).column("id").to_numpy()
-            assert len(dl) == nd, f"cell {cid}: del count mismatch"
-            assert len(np.unique(dl)) == nd, f"cell {cid}: duplicate tombstones"
-            assert np.isin(dl, t.column("id").to_numpy()).all(), \
+            assert len(np.unique(dl)) == len(dl), \
+                f"cell {cid}: duplicate tombstones"
+            fids = t.column("id").to_numpy()
+            assert np.isin(dl, fids).all(), \
                 f"cell {cid}: tombstone for absent id"
+            assert int(np.isin(fids, dl).sum()) == nd, \
+                f"cell {cid}: del count mismatch"
             deleted += nd
     assert total == man["total_rows"]
     assert deleted == man.get("deleted_rows", 0)
@@ -718,9 +723,13 @@ def read_index(path: str, columns: list[str] | None = None):
 
 def _write_cell_dels(path: str, cid: int, new_ids: np.ndarray) -> int:
     """Merge ids into del-{cid}.parquet (atomic publish); returns the
-    TOTAL deleted count for the cell. The del-file column is ALWAYS
-    named "id" whatever the index's id column is called —
-    load_tombstones reads it by that name."""
+    PHYSICAL deleted row count for the cell — the number of rows in the
+    partition file matching a tombstoned id, which can exceed the id
+    count when duplicates exist ('rstar' ingest explicitly allows them;
+    filter_tombstones kills every copy, so the manifest accounting must
+    count copies too). The del-file column is ALWAYS named "id" whatever
+    the index's id column is called — load_tombstones reads it by that
+    name."""
     f = os.path.join(path, _del_name(cid))
     if os.path.exists(f):
         old = pq.read_table(f).column(0).to_numpy()
@@ -730,7 +739,9 @@ def _write_cell_dels(path: str, cid: int, new_ids: np.ndarray) -> int:
     tmp = f + ".tmp"
     pq.write_table(pa.table({"id": merged}), tmp)
     os.replace(tmp, f)
-    return len(merged)
+    part = os.path.join(path, f"part-{cid}.parquet")
+    file_ids = pq.read_table(part, columns=["id"]).column("id").to_numpy()
+    return int(np.isin(file_ids, merged).sum())
 
 
 def tombstone_index(path: str, sel_rows, prune_partition=None,
@@ -1017,9 +1028,20 @@ def ingest_delta(path: str, delta_ds, strategy: str = "rstar") -> dict:
     re-expressed)."""
     import ray
 
-    spec = INSERTION_STRATEGIES[strategy]
+    try:
+        spec = INSERTION_STRATEGIES[strategy]
+    except KeyError:
+        raise ValueError(
+            f"unknown insertion strategy {strategy!r}; registered: "
+            f"{sorted(INSERTION_STRATEGIES)} (add more via "
+            "register_insertion_strategy)") from None
     merge_rows = spec["merge"]
     if spec.get("replace_by_id"):
+        # materialize ONCE: the ids-only gather below and the cell
+        # routing afterwards both consume the delta — on a lazy
+        # dataset each would re-execute the whole upstream chain (the
+        # arrow_refs double-execution pattern)
+        delta_ds = delta_ds.materialize()
         # cross-partition replace: tombstone the delta's ids wherever
         # they currently live (ids-only driver gather — 8 B/row; split
         # the ingest if a delta's id set exceeds driver memory)
@@ -1081,10 +1103,23 @@ def ingest_delta(path: str, delta_ds, strategy: str = "rstar") -> dict:
                 part = merge_rows(old, part)
             else:
                 part = merge_rows(None, part)
+            dfile = os.path.join(path, _del_name(cid))
+            if len(part) == 0:
+                # a custom strategy may reject every row of a cell:
+                # drop the partition (file + tombstones) instead of
+                # publishing a 0-row file; the driver removes the
+                # manifest entry for rows == 0
+                if os.path.exists(fname):
+                    os.remove(fname)
+                if os.path.exists(dfile):
+                    os.remove(dfile)
+                out.append({"cell_id": cid, "rows": 0, "bytes": 0,
+                            "wall_ms": 0.0, "minx": 0.0, "miny": 0.0,
+                            "maxx": 0.0, "maxy": 0.0})
+                continue
             tmp = fname + ".tmp"
             pq.write_table(part, tmp)
             os.replace(tmp, fname)
-            dfile = os.path.join(path, _del_name(cid))
             if os.path.exists(dfile):
                 os.remove(dfile)
             out.append({
@@ -1100,6 +1135,9 @@ def ingest_delta(path: str, delta_ds, strategy: str = "rstar") -> dict:
 
     stats = ops.coarse_group_by_cell(keyed, merge_bucket).to_pandas()
     for r in stats.itertuples():
+        if int(r.rows) == 0:  # strategy rejected the whole cell
+            man["partitions"].pop(str(int(r.cell_id)), None)
+            continue
         man["partitions"][str(int(r.cell_id))] = {
             "file": f"part-{int(r.cell_id)}.parquet",
             "rows": int(r.rows), "bytes": int(r.bytes), "wall_ms": float(r.wall_ms),

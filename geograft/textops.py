@@ -97,10 +97,7 @@ def _sql_hash(flat: pa.Array | pa.ChunkedArray) -> np.ndarray:
                 active = np.nonzero(lens > j)[0]
                 idx = starts[active] + j
                 h[active] = (h[active] ^ cp[idx]) * prime
-            z = h
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(_MIX1)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX2)
-            h = z ^ (z >> np.uint64(31))
+        h = _splitmix64_np(h)
     return h
 
 
@@ -1854,6 +1851,16 @@ def _splitmix64_np(z: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def _check_rates(rates: dict[str, float]) -> None:
+    """Sampling rates must be honest probabilities: outside [0, 1] the
+    engine's uint64 threshold wraps (a -0.1 would keep ~90%) while the
+    SQL oracle's negative literal keeps nothing — fail loudly instead
+    of diverging silently."""
+    bad = {k: v for k, v in rates.items() if not (0.0 <= float(v) <= 1.0)}
+    if bad:
+        raise ValueError(f"sampling rates must be in [0, 1]: {bad}")
+
+
 def sample_stratified(ds, rates: dict[str, float],
                       strata_col: str = "source",
                       key_col: str = "doc_id",
@@ -1878,6 +1885,7 @@ def sample_stratified(ds, rates: dict[str, float],
     non-negative int64 (the oracle's ``::UBIGINT`` cast rejects
     negatives loudly rather than silently wrapping like numpy would).
     """
+    _check_rates({**rates, "<default>": default_rate})
     thr = {k: min(int(v * float(_M64)), _M64) for k, v in rates.items()}
     default_thr = min(int(default_rate * float(_M64)), _M64)
     seed_u = np.uint64(seed & (_M64 - 1))
@@ -1893,12 +1901,15 @@ def sample_stratified(ds, rates: dict[str, float],
         enc = strata.dictionary_encode()
         uniq = enc.dictionary.to_pylist()
         # a rate-1.0 threshold is 2^64, one past uint64: carry it as a
-        # separate always-keep flag so the h < thr compare stays exact
-        t_all = [thr.get(u, default_thr) for u in uniq]
+        # separate always-keep flag so the h < thr compare stays exact.
+        # A NULL stratum gets default_rate (matching the SQL CASE's
+        # ELSE branch): the sentinel slot appended after the dictionary
+        t_all = [thr.get(u, default_thr) for u in uniq] + [default_thr]
         t_small = np.array([min(t, _M64 - 1) for t in t_all],
                            dtype=np.uint64)
         t_full = np.array([t >= _M64 for t in t_all], dtype=bool)
-        idx = enc.indices.to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(enc.indices, len(uniq)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         mask = (h < t_small[idx]) | t_full[idx]
         return b.filter(pa.array(mask))
 
@@ -1915,6 +1926,7 @@ def sample_stratified_oracle_sql(rates: dict[str, float],
     and the integer thresholds are reproduced with HUGEINT arithmetic
     (the token_hash_sql_ctes machinery), so the kept row set is
     bit-identical."""
+    _check_rates({**rates, "<default>": default_rate})
     thr = {k: min(int(v * float(_M64)), _M64) for k, v in rates.items()}
     default_thr = min(int(default_rate * float(_M64)), _M64)
     cases = " ".join(f"WHEN '{k}' THEN {v}::HUGEINT"

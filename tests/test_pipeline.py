@@ -615,3 +615,63 @@ def test_register_custom_insertion_strategy(ray_session, tmp_path):
             pipeline.register_insertion_strategy("rstar", insert_if_absent)
     finally:
         pipeline.INSERTION_STRATEGIES.pop("if_absent", None)
+
+
+def test_upsert_counts_physical_copies_of_duplicate_ids(ray_session, tmp_path):
+    """'rstar' ingest explicitly allows duplicate ids; a later upsert of
+    such an id must tombstone EVERY physical copy and the manifest must
+    count copies, not unique ids (review finding, round 5)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    xy = rng.uniform(0, 1, (100, 2))
+    t = pa.table({"id": np.arange(100), "minx": xy[:, 0], "miny": xy[:, 1],
+                  "maxx": xy[:, 0], "maxy": xy[:, 1]})
+    path = str(tmp_path / "dup")
+    pipeline.build_partitioned_index(
+        rd.from_arrow(t), path, base_level=2, bounds=G.Bounds(0, 0, 1, 1))
+    # duplicate id 5 at a different location (allowed under 'rstar')
+    dup = pa.table({"id": pa.array([5], type=pa.int64()),
+                    "minx": [0.9], "miny": [0.9], "maxx": [0.9], "maxy": [0.9]})
+    pipeline.ingest_delta(path, rd.from_arrow(dup))  # rstar: 101 rows
+    # upsert id 5 to a third location: BOTH old copies must die
+    up = pa.table({"id": pa.array([5], type=pa.int64()),
+                   "minx": [0.1], "miny": [0.9], "maxx": [0.1], "maxy": [0.9]})
+    pipeline.ingest_delta(path, rd.from_arrow(up), strategy="upsert")
+    pipeline.sanity_check_index(path, expected_rows=100)
+    ids = pipeline.read_index(path).to_pandas()["id"].to_numpy()
+    assert len(ids) == 100 and (np.sort(ids) == np.arange(100)).all()
+
+
+def test_ingest_rejects_unknown_strategy(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = pa.table({"id": pa.array([0], type=pa.int64()),
+                  "minx": [0.5], "miny": [0.5], "maxx": [0.5], "maxy": [0.5]})
+    path = str(tmp_path / "unk")
+    pipeline.build_partitioned_index(
+        rd.from_arrow(t), path, base_level=1, bounds=G.Bounds(0, 0, 1, 1))
+    with pytest.raises(ValueError, match="registered"):
+        pipeline.ingest_delta(path, rd.from_arrow(t), strategy="upser")
+
+
+def test_custom_strategy_rejecting_all_rows_drops_partition(ray_session, tmp_path):
+    """A merge returning 0 rows must drop the partition cleanly (no
+    0-row file published, manifest entry removed) instead of crashing
+    on an empty-bounds reduction."""
+    import ray.data as rd
+
+    pipeline.register_insertion_strategy("drop_all",
+                                         lambda old, new: new.slice(0, 0))
+    try:
+        t = pa.table({"id": np.arange(50, dtype=np.int64),
+                      "minx": np.full(50, 0.25), "miny": np.full(50, 0.25),
+                      "maxx": np.full(50, 0.25), "maxy": np.full(50, 0.25)})
+        path = str(tmp_path / "drop")
+        pipeline.build_partitioned_index(
+            rd.from_arrow(t), path, base_level=1, bounds=G.Bounds(0, 0, 1, 1))
+        pipeline.ingest_delta(path, rd.from_arrow(t), strategy="drop_all")
+        pipeline.sanity_check_index(path, expected_rows=0)
+        assert pipeline.load_manifest(path)["partitions"] == {}
+    finally:
+        pipeline.INSERTION_STRATEGIES.pop("drop_all", None)

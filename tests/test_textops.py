@@ -764,3 +764,31 @@ def test_sample_stratified_vs_sql_and_determinism(ray_session, con, sf_small):
     assert by["src1"] == 25  # every src1 doc kept at rate 1.0
     again = run()
     assert set(again.doc_id) == set(got.doc_id)
+
+
+def test_sample_stratified_null_stratum_and_bad_rates(ray_session):
+    """NULL stratum takes default_rate on BOTH sides (engine fill-null
+    sentinel == SQL CASE ELSE), and out-of-range rates fail loudly in
+    both generators instead of silently diverging (uint64 wrap vs
+    negative SQL literal)."""
+    import duckdb
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "source": pa.array(["a", "a", None, None, "b", "b"]),
+        "text": ["t"] * 6,
+    })
+    rates = {"a": 0.0, "b": 1.0}
+    got = T.sample_stratified(rd.from_arrow(tbl), rates,
+                              default_rate=1.0).to_pandas()
+    con2 = duckdb.connect()
+    con2.register("documents_tbl", tbl.to_pandas())
+    con2.sql("CREATE VIEW documents AS SELECT * FROM documents_tbl")
+    want = con2.sql(T.sample_stratified_oracle_sql(
+        rates, default_rate=1.0)).df()
+    assert set(got.doc_id) == set(want.doc_id) == {2, 3, 4, 5}
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        T.sample_stratified(rd.from_arrow(tbl), {"a": -0.1})
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        T.sample_stratified_oracle_sql({"a": 1.5})
