@@ -792,3 +792,23 @@ def test_sample_stratified_null_stratum_and_bad_rates(ray_session):
         T.sample_stratified(rd.from_arrow(tbl), {"a": -0.1})
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         T.sample_stratified_oracle_sql({"a": 1.5})
+
+
+def test_sample_stratified_realized_fraction(ray_session):
+    """Over many keys the realized keep-fraction must track the rate
+    (splitmix64 is a good mixer; deterministic given fixed keys), and
+    disjoint seeds give different — equally sized — samples."""
+    import ray.data as rd
+
+    n = 20000
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                    "source": pa.array(["s"] * n)})
+    kept = T.sample_stratified(rd.from_arrow(tbl), {"s": 0.3}).to_pandas()
+    frac = len(kept) / n
+    assert abs(frac - 0.3) < 0.02, frac
+    other = T.sample_stratified(rd.from_arrow(tbl), {"s": 0.3},
+                                seed=12345).to_pandas()
+    assert abs(len(other) / n - 0.3) < 0.02
+    # different seeds pick materially different rows
+    overlap = len(set(kept.doc_id) & set(other.doc_id)) / len(kept)
+    assert overlap < 0.5, overlap
